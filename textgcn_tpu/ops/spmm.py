@@ -1,0 +1,83 @@
+"""SpMM: sparse adjacency × dense features, the framework's hot op.
+
+Replaces the reference's ``torch.spmm`` (reference layer.py:102,106) with
+TPU-native implementations:
+
+- :func:`spmm_coo_segment` — gather → scale → ``segment_sum``. Pure XLA,
+  differentiable, runs anywhere. The correctness oracle.
+- :func:`spmm_dense` — materialized dense matmul for small graphs (the real
+  text graphs have <20k nodes; a dense [N, N] @ [N, F] is a single large MXU
+  op and is the fastest choice on TPU well past that size).
+- :func:`textgcn_tpu.ops.pallas_spmm.spmm_bsr` — Pallas block-sparse kernel
+  for large graphs (imported lazily to keep CPU-only paths light).
+
+:func:`spmm` dispatches on the graph container type.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from textgcn_tpu.graph.structs import BlockSparseGraph, SparseGraph
+
+
+def spmm_coo_segment(
+    row: jnp.ndarray,
+    col: jnp.ndarray,
+    val: jnp.ndarray,
+    x: jnp.ndarray,
+    n_nodes: int,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    """(A @ x) for padded COO A. Padding rows (== n_nodes) land in a dropped
+    phantom segment; padding vals are 0 anyway.
+
+    Args:
+      row, col: [E] int32 (row sorted ascending if indices_are_sorted).
+      val:      [E] float.
+      x:        [N, F] float (N == n_nodes; an extra phantom row is appended
+                internally so padded ``col == n_nodes`` gathers zeros).
+    Returns:
+      [N, F] float32 result.
+    """
+    xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
+    gathered = xp[col] * val[:, None].astype(x.dtype)
+    out = jax.ops.segment_sum(
+        gathered,
+        row,
+        num_segments=n_nodes + 1,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return out[:n_nodes]
+
+
+def spmm_dense(a_dense: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(a_dense, x, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def spmm(
+    graph: Union[SparseGraph, BlockSparseGraph],
+    x: jnp.ndarray,
+    method: str = "auto",
+) -> jnp.ndarray:
+    """Â @ x with automatic kernel dispatch.
+
+    method: "auto" | "segment" | "dense" | "bsr".
+    """
+    if isinstance(graph, BlockSparseGraph):
+        from textgcn_tpu.ops.pallas_spmm import spmm_bsr
+
+        return spmm_bsr(graph, x)
+    if method == "auto":
+        method = "segment"
+    if method == "segment":
+        return spmm_coo_segment(
+            graph.row, graph.col, graph.val, x, graph.n_nodes
+        )
+    if method == "dense":
+        return spmm_dense(graph.to_dense(), x)
+    raise ValueError(f"unknown spmm method: {method}")

@@ -1,0 +1,7 @@
+from textgcn_tpu.parallel.partition import PartitionedGraph, partition_rows  # noqa: F401
+from textgcn_tpu.parallel.sharded import (  # noqa: F401
+    make_mesh,
+    spmm_sharded,
+    sharded_gcn_forward,
+    make_sharded_train_step,
+)

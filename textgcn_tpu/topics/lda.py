@@ -1,0 +1,222 @@
+"""Latent Dirichlet Allocation via batch variational Bayes, in JAX.
+
+TPU-native replacement for the reference's sklearn LDA
+(reference topic_model.py:109-131). The algorithm is the standard batch
+variational EM (Blei/Hoffman), which is *pure batched matmuls* over the
+document-term matrix — an excellent MXU fit — instead of sklearn's per-doc
+Python/Cython loop:
+
+  Eb      = exp(E[log beta])   = exp(psi(lambda) - psi(sum_w lambda))   [K,V]
+  Eg      = exp(E[log theta])  = exp(psi(gamma)  - psi(sum_k gamma))    [D,K]
+  phinorm = Eg @ Eb  (+eps)                                             [D,V]
+  gamma  <- alpha + Eg * ((X / phinorm) @ Eb^T)       (E-step, iterated)
+  lambda <- eta + Eb * (Eg^T @ (X / phinorm))         (M-step)
+
+Hyperparameter defaults mirror sklearn's: alpha = eta = 1/K, 20 EM
+iterations, up to 100 E-step sub-iterations with mean-change tol 1e-3, and
+Gamma(100, 0.01) random initialization of lambda and gamma (drawn with numpy
+``RandomState(random_state)`` for reproducibility parity).
+
+Documents are processed in fixed-size chunks (padded) so the E-step jits once
+with static shapes; chunks stream through the device, keeping HBM bounded for
+large corpora.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _dirichlet_expectation_exp(alpha: jnp.ndarray) -> jnp.ndarray:
+    """exp(psi(alpha) - psi(sum(alpha, -1)))."""
+    return jnp.exp(
+        jax.lax.digamma(alpha)
+        - jax.lax.digamma(jnp.sum(alpha, axis=-1, keepdims=True))
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def _e_step(
+    x: jnp.ndarray,  # [B, V] dense counts (padded docs are all-zero rows)
+    gamma0: jnp.ndarray,  # [B, K] random init
+    exp_elog_beta: jnp.ndarray,  # [K, V]
+    alpha: jnp.ndarray,
+    max_iters: int = 100,
+    tol: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Iterate gamma to convergence; return (gamma, sstats)."""
+
+    def cond(state):
+        it, _, change = state
+        return jnp.logical_and(it < max_iters, change > tol)
+
+    def body(state):
+        it, gamma, _ = state
+        eg = _dirichlet_expectation_exp(gamma)
+        phinorm = jnp.dot(eg, exp_elog_beta, preferred_element_type=jnp.float32)
+        ratio = x / (phinorm + 1e-100)
+        new_gamma = alpha + eg * jnp.dot(
+            ratio, exp_elog_beta.T, preferred_element_type=jnp.float32
+        )
+        change = jnp.max(jnp.mean(jnp.abs(new_gamma - gamma), axis=-1))
+        return it + 1, new_gamma, change
+
+    _, gamma, _ = jax.lax.while_loop(cond, body, (0, gamma0, jnp.inf))
+    eg = _dirichlet_expectation_exp(gamma)
+    phinorm = jnp.dot(eg, exp_elog_beta, preferred_element_type=jnp.float32)
+    ratio = x / (phinorm + 1e-100)
+    sstats = jnp.dot(eg.T, ratio, preferred_element_type=jnp.float32)
+    return gamma, sstats
+
+
+@jax.jit
+def _bound_terms(x, gamma, exp_elog_beta):
+    """Per-chunk ELBO word term: sum_dw x_dw log(phinorm_dw)."""
+    eg = _dirichlet_expectation_exp(gamma)
+    phinorm = jnp.dot(eg, exp_elog_beta, preferred_element_type=jnp.float32)
+    return jnp.sum(x * jnp.log(phinorm + 1e-100))
+
+
+class LDA:
+    """Batch variational-Bayes LDA.
+
+    Args:
+      n_components: number of topics K.
+      max_iter: EM iterations (sklearn default 10; the reference passes 20,
+        topic_model.py:44).
+      random_state: seed for lambda/gamma Gamma(100, 0.01) init.
+      chunk_size: docs per device batch (rounded E-step shapes).
+    """
+
+    def __init__(
+        self,
+        n_components: int = 50,
+        max_iter: int = 20,
+        doc_topic_prior: Optional[float] = None,
+        topic_word_prior: Optional[float] = None,
+        random_state: int = 42,
+        chunk_size: int = 2048,
+        mean_change_tol: float = 1e-3,
+        max_doc_update_iter: int = 100,
+        verbose: bool = False,
+    ):
+        self.n_components = int(n_components)
+        self.max_iter = int(max_iter)
+        self.doc_topic_prior = doc_topic_prior
+        self.topic_word_prior = topic_word_prior
+        self.random_state = int(random_state)
+        self.chunk_size = int(chunk_size)
+        self.mean_change_tol = float(mean_change_tol)
+        self.max_doc_update_iter = int(max_doc_update_iter)
+        self.verbose = verbose
+        self.components_: Optional[np.ndarray] = None  # [K, V] lambda
+
+    # -- helpers ----------------------------------------------------------
+    def _chunks(self, x: sp.csr_matrix):
+        n = x.shape[0]
+        for lo in range(0, n, self.chunk_size):
+            hi = min(lo + self.chunk_size, n)
+            chunk = np.zeros((self.chunk_size, x.shape[1]), dtype=np.float32)
+            chunk[: hi - lo] = x[lo:hi].toarray()
+            yield lo, hi, chunk
+
+    def _priors(self):
+        k = self.n_components
+        alpha = self.doc_topic_prior if self.doc_topic_prior else 1.0 / k
+        eta = self.topic_word_prior if self.topic_word_prior else 1.0 / k
+        return np.float32(alpha), np.float32(eta)
+
+    # -- API --------------------------------------------------------------
+    def fit(self, x: sp.csr_matrix) -> "LDA":
+        x = sp.csr_matrix(x)
+        n_docs, n_words = x.shape
+        k = self.n_components
+        alpha, eta = self._priors()
+        rs = np.random.RandomState(self.random_state)
+        lam = rs.gamma(100.0, 0.01, (k, n_words)).astype(np.float32)
+
+        lam_j = jnp.asarray(lam)
+        for it in range(self.max_iter):
+            exp_elog_beta = _dirichlet_expectation_exp(lam_j)
+            sstats = jnp.zeros((k, n_words), dtype=jnp.float32)
+            for lo, hi, chunk in self._chunks(x):
+                gamma0 = jnp.asarray(
+                    rs.gamma(100.0, 0.01, (chunk.shape[0], k)).astype(
+                        np.float32
+                    )
+                )
+                _, s = _e_step(
+                    jnp.asarray(chunk),
+                    gamma0,
+                    exp_elog_beta,
+                    jnp.float32(alpha),
+                    max_iters=self.max_doc_update_iter,
+                    tol=self.mean_change_tol,
+                )
+                sstats = sstats + s
+            lam_j = eta + exp_elog_beta * sstats
+            if self.verbose:
+                print(f"LDA EM iteration {it + 1}/{self.max_iter}")
+        self.components_ = np.asarray(lam_j)
+        return self
+
+    def transform(self, x: sp.csr_matrix) -> np.ndarray:
+        """Normalized doc-topic distributions theta [D, K]."""
+        if self.components_ is None:
+            raise ValueError("LDA is not fitted")
+        x = sp.csr_matrix(x)
+        alpha, _ = self._priors()
+        rs = np.random.RandomState(self.random_state)
+        exp_elog_beta = _dirichlet_expectation_exp(
+            jnp.asarray(self.components_)
+        )
+        out = np.zeros((x.shape[0], self.n_components), dtype=np.float32)
+        for lo, hi, chunk in self._chunks(x):
+            gamma0 = jnp.asarray(
+                rs.gamma(100.0, 0.01, (chunk.shape[0], self.n_components)).astype(
+                    np.float32
+                )
+            )
+            gamma, _ = _e_step(
+                jnp.asarray(chunk),
+                gamma0,
+                exp_elog_beta,
+                jnp.float32(alpha),
+                max_iters=self.max_doc_update_iter,
+                tol=self.mean_change_tol,
+            )
+            g = np.asarray(gamma[: hi - lo])
+            out[lo:hi] = g / g.sum(axis=1, keepdims=True)
+        return out
+
+    def perplexity(self, x: sp.csr_matrix) -> float:
+        """Word perplexity bound proxy: exp(-sum log phinorm / total words)."""
+        x = sp.csr_matrix(x)
+        alpha, _ = self._priors()
+        rs = np.random.RandomState(self.random_state)
+        exp_elog_beta = _dirichlet_expectation_exp(
+            jnp.asarray(self.components_)
+        )
+        total = 0.0
+        for lo, hi, chunk in self._chunks(x):
+            gamma0 = jnp.asarray(
+                rs.gamma(100.0, 0.01, (chunk.shape[0], self.n_components)).astype(
+                    np.float32
+                )
+            )
+            gamma, _ = _e_step(
+                jnp.asarray(chunk),
+                gamma0,
+                exp_elog_beta,
+                jnp.float32(alpha),
+            )
+            total += float(
+                _bound_terms(jnp.asarray(chunk), gamma, exp_elog_beta)
+            )
+        n_words = float(x.sum())
+        return float(np.exp(-total / max(n_words, 1.0)))

@@ -1,0 +1,216 @@
+"""Word2Vec (CBOW + negative sampling) implemented natively in JAX.
+
+The reference delegates to gensim's C implementation
+(reference topic_model.py:194-235: CBOW, dim=100, window=5, min_count=2,
+10 epochs, negative sampling). This is a from-scratch TPU-native trainer:
+
+- host-side: vocabulary build (min_count), frequent-word subsampling
+  (gensim's ``sample=1e-3`` formula), unigram^0.75 negative table;
+- device-side: one jitted step over a [B] batch of (center, context-window)
+  examples — embedding gathers, a mean over the context window, sigmoid
+  dot-products against 1 positive + ``negative`` sampled outputs, SGD with
+  linearly decaying learning rate (gensim's schedule alpha→min_alpha).
+
+All shapes are static: contexts are padded to 2*window with a mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+def _cbow_step(
+    w_in: jnp.ndarray,  # [V, D] input (context) embeddings
+    w_out: jnp.ndarray,  # [V, D] output (center) embeddings
+    centers: jnp.ndarray,  # [B] int32
+    contexts: jnp.ndarray,  # [B, C] int32 (padded)
+    ctx_mask: jnp.ndarray,  # [B, C] float32
+    negatives: jnp.ndarray,  # [B, N] int32
+    lr: jnp.ndarray,  # scalar
+):
+    b, c = contexts.shape
+    ctx_vecs = w_in[contexts]  # [B, C, D]
+    denom = jnp.maximum(jnp.sum(ctx_mask, axis=1, keepdims=True), 1.0)
+    h = jnp.sum(ctx_vecs * ctx_mask[:, :, None], axis=1) / denom  # [B, D]
+
+    tgt = jnp.concatenate([centers[:, None], negatives], axis=1)  # [B, 1+N]
+    lbl = jnp.zeros(tgt.shape, dtype=jnp.float32).at[:, 0].set(1.0)
+    tvecs = w_out[tgt]  # [B, 1+N, D]
+    score = jnp.einsum("bd,bnd->bn", h, tvecs)
+    sig = jax.nn.sigmoid(score)
+    gscore = (sig - lbl)  # d loss / d score, [B, 1+N]
+
+    gh = jnp.einsum("bn,bnd->bd", gscore, tvecs)  # [B, D]
+    gt = gscore[:, :, None] * h[:, None, :]  # [B, 1+N, D]
+
+    w_out = w_out.at[tgt].add(-lr * gt)
+    gctx = (gh / denom)[:, None, :] * ctx_mask[:, :, None]  # [B, C, D]
+    w_in = w_in.at[contexts].add(-lr * gctx)
+    loss = jnp.sum(
+        jnp.where(lbl > 0, -jax.nn.log_sigmoid(score), -jax.nn.log_sigmoid(-score))
+    )
+    return w_in, w_out, loss
+
+
+class Word2Vec:
+    """CBOW negative-sampling word2vec with a gensim-like surface."""
+
+    def __init__(
+        self,
+        vector_size: int = 100,
+        window: int = 5,
+        min_count: int = 2,
+        negative: int = 5,
+        ns_exponent: float = 0.75,
+        sample: float = 1e-3,
+        alpha: float = 0.025,
+        min_alpha: float = 1e-4,
+        epochs: int = 10,
+        batch_size: int = 4096,
+        seed: int = 1,
+    ):
+        self.vector_size = vector_size
+        self.window = window
+        self.min_count = min_count
+        self.negative = negative
+        self.ns_exponent = ns_exponent
+        self.sample = sample
+        self.alpha = alpha
+        self.min_alpha = min_alpha
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.seed = seed
+        self.vocab: Dict[str, int] = {}
+        self.index_to_key: List[str] = []
+        self.vectors: Optional[np.ndarray] = None
+
+    # -- host-side preprocessing -----------------------------------------
+    def _build_vocab(self, sentences: Sequence[List[str]]):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for s in sentences:
+            counts.update(s)
+        items = sorted(
+            ((w, c) for w, c in counts.items() if c >= self.min_count),
+            key=lambda wc: (-wc[1], wc[0]),
+        )
+        self.index_to_key = [w for w, _ in items]
+        self.vocab = {w: i for i, w in enumerate(self.index_to_key)}
+        self.counts = np.asarray([c for _, c in items], dtype=np.float64)
+
+    def _subsample_probs(self) -> np.ndarray:
+        """Keep-probability per word (gensim's sample formula)."""
+        if not self.sample:
+            return np.ones_like(self.counts)
+        total = self.counts.sum()
+        f = self.counts / total
+        thr = self.sample
+        keep = (np.sqrt(f / thr) + 1.0) * (thr / f)
+        return np.clip(keep, 0.0, 1.0)
+
+    def _examples(self, sentences, rng: np.random.RandomState):
+        """Yield (center, padded context, mask) arrays for the whole corpus."""
+        keep = self._subsample_probs()
+        c_max = 2 * self.window
+        centers, ctxs, masks = [], [], []
+        for s in sentences:
+            ids = [self.vocab[w] for w in s if w in self.vocab]
+            ids = [i for i in ids if rng.rand() < keep[i]]
+            n = len(ids)
+            for pos in range(n):
+                red = rng.randint(1, self.window + 1)
+                lo, hi = max(0, pos - red), min(n, pos + red + 1)
+                ctx = [ids[j] for j in range(lo, hi) if j != pos]
+                if not ctx:
+                    continue
+                pad = c_max - len(ctx)
+                centers.append(ids[pos])
+                ctxs.append(ctx + [0] * pad)
+                masks.append([1.0] * len(ctx) + [0.0] * pad)
+        return (
+            np.asarray(centers, dtype=np.int32),
+            np.asarray(ctxs, dtype=np.int32),
+            np.asarray(masks, dtype=np.float32),
+        )
+
+    # -- training --------------------------------------------------------
+    def fit(self, sentences: Sequence) -> "Word2Vec":
+        sentences = [
+            s.split() if isinstance(s, str) else list(s) for s in sentences
+        ]
+        self._build_vocab(sentences)
+        v, d = len(self.vocab), self.vector_size
+        if v == 0:
+            raise ValueError("empty word2vec vocabulary")
+        rng = np.random.RandomState(self.seed)
+        w_in = jnp.asarray(
+            ((rng.rand(v, d).astype(np.float32) - 0.5) / d)
+        )
+        w_out = jnp.asarray(np.zeros((v, d), dtype=np.float32))
+
+        noise = self.counts ** self.ns_exponent
+        noise = (noise / noise.sum()).astype(np.float64)
+
+        bsz = self.batch_size
+        step = 0
+        centers, ctxs, masks = self._examples(sentences, rng)
+        n_ex = len(centers)
+        if n_ex == 0:
+            raise ValueError("no word2vec training examples")
+        total_steps = max(1, self.epochs * ((n_ex + bsz - 1) // bsz))
+        for epoch in range(self.epochs):
+            order = rng.permutation(n_ex)
+            for lo in range(0, n_ex, bsz):
+                sel = order[lo : lo + bsz]
+                if len(sel) < bsz:  # pad batch to static size (wraps around)
+                    sel = np.resize(sel, bsz)
+                neg = rng.choice(
+                    len(noise), size=(bsz, self.negative), p=noise
+                ).astype(np.int32)
+                frac = step / total_steps
+                lr = np.float32(
+                    self.alpha - (self.alpha - self.min_alpha) * frac
+                )
+                w_in, w_out, _ = _cbow_step(
+                    w_in,
+                    w_out,
+                    jnp.asarray(centers[sel]),
+                    jnp.asarray(ctxs[sel]),
+                    jnp.asarray(masks[sel]),
+                    jnp.asarray(neg),
+                    jnp.asarray(lr),
+                )
+                step += 1
+        self.vectors = np.asarray(w_in)
+        return self
+
+    # -- gensim-like lookup ----------------------------------------------
+    def __contains__(self, word: str) -> bool:
+        return word in self.vocab
+
+    def __getitem__(self, word: str) -> np.ndarray:
+        return self.vectors[self.vocab[word]]
+
+    def __len__(self) -> int:
+        return len(self.vocab)
+
+    def most_similar(self, word: str, topn: int = 10):
+        v = self[word]
+        sims = self.vectors @ v / (
+            np.linalg.norm(self.vectors, axis=1) * np.linalg.norm(v) + 1e-12
+        )
+        order = np.argsort(-sims)
+        out = []
+        for i in order:
+            w = self.index_to_key[i]
+            if w != word:
+                out.append((w, float(sims[i])))
+            if len(out) >= topn:
+                break
+        return out

@@ -1,0 +1,121 @@
+"""Prepared training data: graph artifact + topic model → device arrays.
+
+Capability parity with the reference's ``PrepareData``
+(reference trainer.py:74-261):
+
+1. read the weighted edgelist, **max-symmetrize** (A := max(A, Aᵀ),
+   reference trainer.py:148), symmetric-normalize with self-loops
+   (reference utils.py:185-193), pack into a :class:`SparseGraph`;
+2. build node features: document rows = theta_d re-normalized to sum 1
+   (reference trainer.py:205-209), topic rows = topic embeddings, padded to
+   ``max(K, emb_dim)`` (reference trainer.py:197), then row-wise L2
+   normalization (reference trainer.py:219-221). Features stay **dense** —
+   N x max(K, E) is small and dense matmul is the TPU-right layout
+   (the reference converts to sparse COO "for efficiency", trainer.py:223);
+3. labels + train/test splits from the dataset file.
+
+Like the reference (trainer.py:179), theta is re-inferred at prepare time
+via the topic model's E-step over the clean corpus.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from textgcn_tpu.graph.build_topic import read_weighted_edgelist
+from textgcn_tpu.graph.normalize import max_symmetrize_coo, sym_normalize_coo
+from textgcn_tpu.graph.structs import SparseGraph
+from textgcn_tpu.text.datasets import DatasetLabels, load_labels
+from textgcn_tpu.topics.model import TopicModel, load_documents_from_file
+
+
+@dataclasses.dataclass
+class PreparedData:
+    graph: SparseGraph
+    features: np.ndarray  # [N, F] float32 dense
+    labels: DatasetLabels
+    n_feat: int
+    num_docs: int
+    num_topics: int
+
+    @property
+    def n_nodes(self) -> int:
+        return self.graph.n_nodes
+
+
+def normalize_rows_l2(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(norms, 1e-12)
+
+
+def build_topic_features(
+    doc_topic_dist: np.ndarray, topic_embeddings: np.ndarray
+) -> np.ndarray:
+    """Doc rows = theta (sum-normalized); topic rows = embeddings; pad to
+    max(K, E); L2-normalize rows. (reference trainer.py:156-241)"""
+    num_docs, num_topics = doc_topic_dist.shape
+    emb_dim = topic_embeddings.shape[1]
+    n_feat = max(num_topics, emb_dim)
+    feats = np.zeros((num_docs + num_topics, n_feat), dtype=np.float32)
+    theta = doc_topic_dist / (
+        doc_topic_dist.sum(axis=1, keepdims=True) + 1e-8
+    )
+    feats[:num_docs, :num_topics] = theta
+    feats[num_docs:, : min(emb_dim, n_feat)] = topic_embeddings[
+        :, : min(emb_dim, n_feat)
+    ]
+    return normalize_rows_l2(feats).astype(np.float32)
+
+
+def load_graph_edges(
+    edgelist_path: str, n_nodes: int, pad_to_multiple: int = 4096
+) -> SparseGraph:
+    """Edgelist → max-symmetrized, normalized SparseGraph."""
+    src, dst, w = read_weighted_edgelist(edgelist_path)
+    r, c, v = max_symmetrize_coo(src, dst, w, n_nodes)
+    r, c, v = sym_normalize_coo(r, c, v, n_nodes)
+    return SparseGraph.from_coo(r, c, v, n_nodes, pad_to_multiple=pad_to_multiple)
+
+
+def prepare_topic_data(
+    dataset: str,
+    data_root: str = "data",
+    graph_dir: Optional[str] = None,
+    num_topics: Optional[int] = None,
+) -> PreparedData:
+    graph_dir = graph_dir or os.path.join(data_root, "graph")
+    base = os.path.join(graph_dir, f"{dataset}_topic")
+
+    labels = load_labels(
+        os.path.join(data_root, "text_dataset", f"{dataset}.txt")
+    )
+
+    tm = TopicModel(num_topics=num_topics or 50)
+    tm.load(base + "_model.pkl")
+
+    docs = load_documents_from_file(
+        os.path.join(data_root, "text_dataset", "clean_corpus", f"{dataset}.txt")
+    )
+    theta = tm.get_document_topic_distribution(docs)
+    if tm.topic_embeddings is None:
+        tm.get_topic_embeddings(top_n=20)
+    features = build_topic_features(theta, tm.topic_embeddings)
+
+    num_docs, k = theta.shape
+    n_nodes = num_docs + k
+    if num_docs != labels.n_docs:
+        raise ValueError(
+            f"corpus has {num_docs} docs but label file has {labels.n_docs}"
+        )
+    graph = load_graph_edges(base + ".txt", n_nodes)
+    return PreparedData(
+        graph=graph,
+        features=features,
+        labels=labels,
+        n_feat=features.shape[1],
+        num_docs=num_docs,
+        num_topics=k,
+    )

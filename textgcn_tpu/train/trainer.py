@@ -1,0 +1,227 @@
+"""Full-batch semi-supervised GCN training, jit-compiled.
+
+Capability parity with the reference's ``TopicGCNTrainer``
+(reference trainer.py:264-406), re-designed TPU-first:
+
+- one compiled ``train_step`` (forward + masked CE + Adam update) and one
+  compiled ``eval_step``; the 200-epoch loop runs on host but each step is a
+  single XLA program with zero per-epoch host↔device traffic except the
+  scalar metrics readback (the reference pays the same: trainer.py:367);
+- dropout via explicit PRNG keys (folded per-epoch);
+- early stopping on val loss with the reference's patience semantics
+  (reference utils.py:216-266), with an optional best-params snapshot —
+  the reference's checkpoint path is dead code (utils.py:244,254), we keep
+  ``restore_best=False`` by default for behavioral parity;
+- the loss is cross-entropy **on train-node logits only** (semi-supervised
+  masking, reference trainer.py:358-359).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from textgcn_tpu.models.gcn import gcn_forward, gcn_init
+from textgcn_tpu.train.metrics import accuracy, macro_f1
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Hyperparameters; defaults mirror the reference (trainer.py:425-431)."""
+
+    n_hidden: int = 200
+    lr: float = 0.02
+    dropout: float = 0.5
+    max_epoch: int = 200
+    early_stopping: int = 10
+    val_ratio: float = 0.1
+    seed: int = 42
+    restore_best: bool = False
+
+
+class EarlyStopping:
+    """Patience counter on val loss (reference utils.py:216-266)."""
+
+    def __init__(self, patience: int = 10, delta: float = 0.0):
+        self.patience = patience
+        self.delta = delta
+        self.best_score: Optional[float] = None
+        self.counter = 0
+
+    def __call__(self, val_loss: float) -> bool:
+        score = -val_loss
+        if self.best_score is None:
+            self.best_score = score
+            return False
+        if score < self.best_score + self.delta:
+            self.counter += 1
+            return self.counter >= self.patience
+        self.best_score = score
+        self.counter = 0
+        return False
+
+
+def train_val_split(
+    train_idx: np.ndarray, val_ratio: float, seed: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shuffled split of the labeled train set into train/val.
+
+    The reference uses sklearn ``train_test_split`` (trainer.py:335-338);
+    this is the same uniform shuffled split via numpy (documented deviation:
+    the exact permutation differs from sklearn's for a given seed).
+    """
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(train_idx))
+    n_val = int(round(len(train_idx) * val_ratio))
+    return np.asarray(train_idx)[perm[n_val:]], np.asarray(train_idx)[perm[:n_val]]
+
+
+@partial(jax.jit, static_argnames=("dropout",), donate_argnums=(0, 1))
+def _train_step(params, opt_state, rng, graph, x, y, train_idx, dropout):
+    def loss_fn(p):
+        logits = gcn_forward(p, graph, x, dropout=dropout, train=True, rng=rng)
+        tl = logits[train_idx]
+        ce = optax.softmax_cross_entropy_with_integer_labels(tl, y[train_idx])
+        return jnp.mean(ce)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = _adam().update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def _adam(lr: float = 0.02):
+    # Adam with the reference's defaults (torch.optim.Adam: b1=0.9, b2=0.999,
+    # eps=1e-8; reference trainer.py:307). lr is injected via inject_hyperparams
+    # so one compiled step serves any lr.
+    return optax.inject_hyperparams(optax.adam)(learning_rate=0.02)
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def _eval_step(params, graph, x, y, idx, num_classes):
+    logits = gcn_forward(params, graph, x, train=False)
+    sl = logits[idx]
+    st = y[idx]
+    loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(sl, st))
+    acc = accuracy(sl, st)
+    f1, p, r = macro_f1(sl, st, num_classes)
+    return loss, acc, f1, p, r
+
+
+class Trainer:
+    """Trains a 2-layer GCN full-batch on a prepared graph."""
+
+    def __init__(
+        self,
+        graph,
+        features: jnp.ndarray,
+        target: np.ndarray,
+        train_idx: np.ndarray,
+        test_idx: np.ndarray,
+        num_classes: int,
+        config: TrainConfig = TrainConfig(),
+    ):
+        self.graph = graph
+        self.x = jnp.asarray(features, dtype=jnp.float32)
+        self.y = jnp.asarray(np.asarray(target), dtype=jnp.int32)
+        self.train_idx_all = np.asarray(train_idx)
+        self.test_idx = jnp.asarray(np.asarray(test_idx), dtype=jnp.int32)
+        self.num_classes = int(num_classes)
+        self.cfg = config
+        self.history: List[Dict[str, float]] = []
+        self.params = None
+        self.train_time = 0.0
+        self.model_param = 0
+
+    def fit(self, verbose: bool = True) -> Dict[str, Any]:
+        cfg = self.cfg
+        tr, va = train_val_split(self.train_idx_all, cfg.val_ratio, cfg.seed)
+        train_idx = jnp.asarray(tr, dtype=jnp.int32)
+        val_idx = jnp.asarray(va, dtype=jnp.int32)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        key, init_key = jax.random.split(key)
+        params = gcn_init(
+            init_key, self.x.shape[1], cfg.n_hidden, self.num_classes
+        )
+        self.model_param = sum(
+            int(p.size) for p in jax.tree_util.tree_leaves(params)
+        )
+        opt = _adam()
+        opt_state = opt.init(params)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            cfg.lr, dtype=jnp.float32
+        )
+        stopper = EarlyStopping(cfg.early_stopping)
+
+        best_val = np.inf
+        best_params = params
+        start = time.time()
+        for epoch in range(cfg.max_epoch):
+            key, drop_key = jax.random.split(key)
+            params, opt_state, loss = _train_step(
+                params,
+                opt_state,
+                drop_key,
+                self.graph,
+                self.x,
+                self.y,
+                train_idx,
+                cfg.dropout,
+            )
+            vloss, vacc, vf1, vp, vr = _eval_step(
+                params, self.graph, self.x, self.y, val_idx, self.num_classes
+            )
+            vloss = float(vloss)
+            rec = {
+                "epoch": epoch,
+                "train_loss": float(loss),
+                "val_loss": vloss,
+                "acc": float(vacc),
+                "macro_f1": float(vf1),
+                "precision": float(vp),
+                "recall": float(vr),
+            }
+            self.history.append(rec)
+            if verbose:
+                print(
+                    " ".join(
+                        f"{k}:{v}" if isinstance(v, int) else f"{k}:{v:.4f}"
+                        for k, v in rec.items()
+                    )
+                )
+            if vloss < best_val:
+                best_val = vloss
+                if cfg.restore_best:
+                    best_params = jax.tree_util.tree_map(
+                        lambda a: a.copy(), params
+                    )
+            if stopper(vloss):
+                break
+        self.train_time = time.time() - start
+        self.params = best_params if cfg.restore_best else params
+        return {"epochs_run": len(self.history), "train_time": self.train_time}
+
+    def evaluate(self, idx: jnp.ndarray, prefix: str = "test") -> Dict[str, float]:
+        loss, acc, f1, p, r = _eval_step(
+            self.params, self.graph, self.x, self.y, idx, self.num_classes
+        )
+        return {
+            f"{prefix}_loss": float(loss),
+            "acc": float(acc),
+            "macro_f1": float(f1),
+            "precision": float(p),
+            "recall": float(r),
+        }
+
+    def test(self) -> Dict[str, float]:
+        out = self.evaluate(self.test_idx, prefix="test")
+        out["train_time"] = self.train_time
+        out["model_param"] = self.model_param
+        return out
