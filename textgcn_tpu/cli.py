@@ -1,0 +1,138 @@
+"""Command-line entry points.
+
+Replaces the reference's per-script argparse CLIs (build_graph.py:235-265,
+trainer.py:596-608, inspect_topics.py:361-397, run_experiment.py:130-164)
+with one ``python -m textgcn_tpu.cli <command>`` multiplexer:
+
+  build-graph  — fit topic model, build + save the doc-topic-topic graph
+  train        — train the GCN on a built graph, write reports
+  inspect      — topic inspection report (top words/docs, similarity stats)
+  experiment   — YAML-driven build → train → inspect, single process
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_build_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--num_topics", type=int, default=50)
+    p.add_argument("--doc_topic_threshold", type=float, default=0.02)
+    p.add_argument("--topic_topic_threshold", type=float, default=0.3)
+    p.add_argument("--min_df", type=int, default=2)
+    p.add_argument("--max_df", type=float, default=0.95)
+    p.add_argument("--no_word2vec", action="store_true")
+    p.add_argument("--lda_backend", default="jax", choices=["jax", "sklearn"])
+    p.add_argument("--data_root", default="data")
+
+
+def cmd_build_graph(args) -> int:
+    from textgcn_tpu.graph.build_topic import TopicGraphBuilder
+
+    b = TopicGraphBuilder(
+        args.dataset,
+        num_topics=args.num_topics,
+        doc_topic_threshold=args.doc_topic_threshold,
+        topic_topic_threshold=args.topic_topic_threshold,
+        min_df=args.min_df,
+        max_df=args.max_df,
+        use_word2vec=not args.no_word2vec,
+        lda_backend=args.lda_backend,
+        data_root=args.data_root,
+    )
+    g = b.build()
+    b.save()
+    print(f"built {args.dataset}: {g.n_nodes} nodes, {g.n_edges} edges")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from textgcn_tpu.train.run import run_experiment
+    from textgcn_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(
+        n_hidden=args.nhid,
+        lr=args.lr,
+        dropout=args.dropout,
+        max_epoch=args.max_epoch,
+        early_stopping=args.early_stopping,
+        val_ratio=args.val_ratio,
+    )
+    summary = run_experiment(
+        args.dataset,
+        times=args.times,
+        data_root=args.data_root,
+        output_dir=args.output_dir,
+        config=cfg,
+        verbose=not args.quiet,
+    )
+    acc = summary["test_accuracy"]
+    print(
+        f"{args.dataset}: acc mean={acc['mean']:.4f} "
+        f"max={acc['max']:.4f} min={acc['min']:.4f}"
+    )
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from textgcn_tpu.inspect.topics import inspect_topics
+
+    inspect_topics(
+        args.dataset,
+        data_root=args.data_root,
+        top_n_words=args.top_n_words,
+        top_n_docs=args.top_n_docs,
+        heatmap=not args.no_heatmap,
+        output_dir=args.output_dir,
+    )
+    return 0
+
+
+def cmd_experiment(args) -> int:
+    from textgcn_tpu.runner import run_experiment_config
+
+    return run_experiment_config(args.config)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="textgcn_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("build-graph", help="build topic graph artifacts")
+    _add_build_args(p)
+    p.set_defaults(fn=cmd_build_graph)
+
+    p = sub.add_parser("train", help="train GCN on a built graph")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--times", type=int, default=1)
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--output_dir", default="results")
+    p.add_argument("--nhid", type=int, default=200)
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--max_epoch", type=int, default=200)
+    p.add_argument("--early_stopping", type=int, default=10)
+    p.add_argument("--val_ratio", type=float, default=0.1)
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("inspect", help="topic inspection report")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--output_dir", default="results")
+    p.add_argument("--top_n_words", type=int, default=10)
+    p.add_argument("--top_n_docs", type=int, default=5)
+    p.add_argument("--no_heatmap", action="store_true")
+    p.set_defaults(fn=cmd_inspect)
+
+    p = sub.add_parser("experiment", help="YAML-driven pipeline")
+    p.add_argument("--config", required=True)
+    p.set_defaults(fn=cmd_experiment)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,134 @@
+"""YAML-driven experiment orchestrator.
+
+Replaces the reference's subprocess-chaining ``run_experiment.py``
+(reference run_experiment.py:24-164) with a **single-process** pipeline —
+build → train → inspect share in-memory artifacts and one JAX runtime, with
+per-stage logs and the config copied into the experiment directory.
+
+YAML schema (same shape as the reference's experiments/r8.yaml:1-18):
+
+  dataset: R8
+  build:
+    num_topics: 50
+    doc_topic_threshold: 0.02
+    topic_topic_threshold: 0.3
+    min_df: 2
+    max_df: 0.95
+    use_word2vec: true
+  train:
+    times: 1
+  inspect:
+    top_n_words: 10
+    top_n_docs: 5
+    heatmap: true
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+from contextlib import contextmanager
+from typing import Any, Dict
+
+import yaml
+
+
+@contextmanager
+def _stage_log(log_dir: str, stage: str):
+    """Tee stdout to a per-stage log (reference run_command's streaming)."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{stage}.log")
+    f = open(path, "w", encoding="utf-8")
+    orig = sys.stdout
+
+    class Tee:
+        def write(self, s):
+            orig.write(s)
+            f.write(s)
+
+        def flush(self):
+            orig.flush()
+            f.flush()
+
+    sys.stdout = Tee()
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        sys.stdout = orig
+        f.write(f"\n[stage {stage} took {time.time() - t0:.1f}s]\n")
+        f.close()
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    with open(path, encoding="utf-8") as f:
+        return yaml.safe_load(f)
+
+
+def run_experiment_config(config_path: str) -> int:
+    cfg = load_config(config_path)
+    dataset = cfg["dataset"]
+    exp_dir = os.path.join("experiments", dataset)
+    log_dir = os.path.join(exp_dir, "logs")
+    res_dir = os.path.join(exp_dir, "results")
+    os.makedirs(res_dir, exist_ok=True)
+    shutil.copy(config_path, os.path.join(exp_dir, "config_used.yaml"))
+
+    build_cfg = cfg.get("build", {})
+    data_root = cfg.get("data_root", "data")
+
+    with _stage_log(log_dir, "build"):
+        from textgcn_tpu.graph.build_topic import TopicGraphBuilder
+
+        builder = TopicGraphBuilder(
+            dataset,
+            num_topics=build_cfg.get("num_topics", 50),
+            doc_topic_threshold=build_cfg.get("doc_topic_threshold", 0.02),
+            topic_topic_threshold=build_cfg.get("topic_topic_threshold", 0.3),
+            min_df=build_cfg.get("min_df", 2),
+            max_df=build_cfg.get("max_df", 0.95),
+            use_word2vec=build_cfg.get("use_word2vec", True),
+            lda_backend=build_cfg.get("lda_backend", "jax"),
+            data_root=data_root,
+        )
+        builder.build()
+        builder.save()
+
+    train_cfg = cfg.get("train", {})
+    with _stage_log(log_dir, "train"):
+        from textgcn_tpu.train.run import run_experiment
+        from textgcn_tpu.train.trainer import TrainConfig
+
+        tc = TrainConfig(
+            n_hidden=train_cfg.get("nhid", 200),
+            lr=train_cfg.get("lr", 0.02),
+            dropout=train_cfg.get("dropout", 0.5),
+            max_epoch=train_cfg.get("max_epoch", 200),
+            early_stopping=train_cfg.get("early_stopping", 10),
+            val_ratio=train_cfg.get("val_ratio", 0.1),
+        )
+        summary = run_experiment(
+            dataset,
+            times=train_cfg.get("times", 1),
+            data_root=data_root,
+            output_dir=res_dir,
+            config=tc,
+        )
+        acc = summary["test_accuracy"]
+        print(f"test accuracy: mean={acc['mean']:.4f} max={acc['max']:.4f}")
+
+    ins_cfg = cfg.get("inspect", {})
+    if ins_cfg.get("enabled", True):
+        with _stage_log(log_dir, "inspect"):
+            from textgcn_tpu.inspect.topics import inspect_topics
+
+            inspect_topics(
+                dataset,
+                data_root=data_root,
+                top_n_words=ins_cfg.get("top_n_words", 10),
+                top_n_docs=ins_cfg.get("top_n_docs", 5),
+                heatmap=ins_cfg.get("heatmap", True),
+                output_dir=res_dir,
+            )
+    return 0
