@@ -77,3 +77,26 @@ def test_train_val_split_disjoint_and_sized():
     assert set(tr) | set(va) == set(range(100))
     tr2, va2 = train_val_split(idx, 0.1, seed=3)
     np.testing.assert_array_equal(tr, tr2)
+
+
+def test_epoch_block_invariance():
+    """Training trajectory must be identical for any epoch_block size."""
+    g, x, y = _two_blobs_graph(n=80, seed=2)
+    n = len(y)
+    rng = np.random.RandomState(4)
+    perm = rng.permutation(n)
+    train_idx, test_idx = perm[: n // 2], perm[n // 2 :]
+    results = []
+    for block in (1, 7, 25):
+        cfg = TrainConfig(
+            n_hidden=16, max_epoch=25, seed=11, val_ratio=0.2,
+            epoch_block=block,
+        )
+        tr = Trainer(g, x, y, train_idx, test_idx, num_classes=2, config=cfg)
+        tr.fit(verbose=False)
+        results.append((len(tr.history), tr.test()["acc"],
+                        [e["val_loss"] for e in tr.history]))
+    assert results[0][0] == results[1][0] == results[2][0]
+    np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-5)
+    np.testing.assert_allclose(results[0][2], results[2][2], rtol=1e-5)
+    assert abs(results[0][1] - results[1][1]) < 1e-6

@@ -159,12 +159,18 @@ class Word2Vec:
 
         bsz = self.batch_size
         step = 0
+        # First epoch's examples also estimate the per-epoch step count for
+        # the linear lr decay. Examples are REgenerated each epoch so window
+        # reductions and subsampling are redrawn (gensim behavior).
         centers, ctxs, masks = self._examples(sentences, rng)
         n_ex = len(centers)
         if n_ex == 0:
             raise ValueError("no word2vec training examples")
         total_steps = max(1, self.epochs * ((n_ex + bsz - 1) // bsz))
         for epoch in range(self.epochs):
+            if epoch > 0:
+                centers, ctxs, masks = self._examples(sentences, rng)
+                n_ex = len(centers)
             order = rng.permutation(n_ex)
             for lo in range(0, n_ex, bsz):
                 sel = order[lo : lo + bsz]

@@ -43,6 +43,9 @@ class TrainConfig:
     val_ratio: float = 0.1
     seed: int = 42
     restore_best: bool = False
+    # epochs per compiled scan block (1 = epoch-at-a-time dispatch);
+    # results are bit-identical across block sizes.
+    epoch_block: int = 10
 
 
 class EarlyStopping:
@@ -114,6 +117,56 @@ def _eval_step(params, graph, x, y, idx, num_classes):
     return loss, acc, f1, p, r
 
 
+@partial(
+    jax.jit,
+    static_argnames=("dropout", "num_classes"),
+    donate_argnums=(0, 1),
+)
+def _train_block(
+    params, opt_state, rngs, graph, x, y, train_idx, val_idx, num_classes, dropout
+):
+    """Run ``len(rngs)`` epochs in ONE device dispatch via ``lax.scan``.
+
+    Per-epoch host↔device round trips dominate full-batch GCN training on
+    this small model (the compute per epoch is ~ms); batching epochs into a
+    scan amortizes dispatch ~blockx. Per-epoch parameter snapshots are
+    stacked in the scan outputs so host-side early stopping can recover the
+    exact params at the stopping epoch — bit-identical semantics to the
+    epoch-at-a-time loop.
+    """
+
+    def epoch(carry, rng):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            logits = gcn_forward(
+                p, graph, x, dropout=dropout, train=True, rng=rng
+            )
+            tl = logits[train_idx]
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    tl, y[train_idx]
+                )
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = _adam().update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        logits = gcn_forward(params, graph, x, train=False)
+        sl = logits[val_idx]
+        st = y[val_idx]
+        vloss = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(sl, st)
+        )
+        vacc = accuracy(sl, st)
+        vf1, vp, vr = macro_f1(sl, st, num_classes)
+        return (params, opt_state), (params, loss, vloss, vacc, vf1, vp, vr)
+
+    (params, opt_state), outs = jax.lax.scan(epoch, (params, opt_state), rngs)
+    return params, opt_state, outs
+
+
 class Trainer:
     """Trains a 2-layer GCN full-batch on a prepared graph."""
 
@@ -163,47 +216,64 @@ class Trainer:
         best_val = np.inf
         best_params = params
         start = time.time()
-        for epoch in range(cfg.max_epoch):
-            key, drop_key = jax.random.split(key)
-            params, opt_state, loss = _train_step(
+        block = max(1, cfg.epoch_block)
+        # one dropout key per epoch, derived upfront so the training
+        # trajectory is identical for any epoch_block choice
+        all_rngs = jax.random.split(key, cfg.max_epoch)
+        epoch = 0
+        stopped = False
+        while epoch < cfg.max_epoch and not stopped:
+            n_epochs = min(block, cfg.max_epoch - epoch)
+            rngs = all_rngs[epoch : epoch + n_epochs]
+            params, opt_state, outs = _train_block(
                 params,
                 opt_state,
-                drop_key,
+                rngs,
                 self.graph,
                 self.x,
                 self.y,
                 train_idx,
+                val_idx,
+                self.num_classes,
                 cfg.dropout,
             )
-            vloss, vacc, vf1, vp, vr = _eval_step(
-                params, self.graph, self.x, self.y, val_idx, self.num_classes
+            s_params, tloss, vloss, vacc, vf1, vp, vr = outs
+            tloss, vloss, vacc, vf1, vp, vr = (
+                np.asarray(a)
+                for a in (tloss, vloss, vacc, vf1, vp, vr)
             )
-            vloss = float(vloss)
-            rec = {
-                "epoch": epoch,
-                "train_loss": float(loss),
-                "val_loss": vloss,
-                "acc": float(vacc),
-                "macro_f1": float(vf1),
-                "precision": float(vp),
-                "recall": float(vr),
-            }
-            self.history.append(rec)
-            if verbose:
-                print(
-                    " ".join(
-                        f"{k}:{v}" if isinstance(v, int) else f"{k}:{v:.4f}"
-                        for k, v in rec.items()
+            for j in range(n_epochs):
+                rec = {
+                    "epoch": epoch,
+                    "train_loss": float(tloss[j]),
+                    "val_loss": float(vloss[j]),
+                    "acc": float(vacc[j]),
+                    "macro_f1": float(vf1[j]),
+                    "precision": float(vp[j]),
+                    "recall": float(vr[j]),
+                }
+                self.history.append(rec)
+                epoch += 1
+                if verbose:
+                    print(
+                        " ".join(
+                            f"{k}:{v}" if isinstance(v, int) else f"{k}:{v:.4f}"
+                            for k, v in rec.items()
+                        )
                     )
-                )
-            if vloss < best_val:
-                best_val = vloss
-                if cfg.restore_best:
-                    best_params = jax.tree_util.tree_map(
-                        lambda a: a.copy(), params
+                if rec["val_loss"] < best_val:
+                    best_val = rec["val_loss"]
+                    if cfg.restore_best:
+                        best_params = jax.tree_util.tree_map(
+                            lambda a: np.asarray(a[j]), s_params
+                        )
+                if stopper(rec["val_loss"]):
+                    # restore the exact params at the stopping epoch
+                    params = jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(a[j]), s_params
                     )
-            if stopper(vloss):
-                break
+                    stopped = True
+                    break
         self.train_time = time.time() - start
         self.params = best_params if cfg.restore_best else params
         return {"epochs_run": len(self.history), "train_time": self.train_time}
