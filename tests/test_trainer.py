@@ -100,3 +100,19 @@ def test_epoch_block_invariance():
     np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-5)
     np.testing.assert_allclose(results[0][2], results[2][2], rtol=1e-5)
     assert abs(results[0][1] - results[1][1]) < 1e-6
+
+
+def test_identity_features_textgcn_mode():
+    """features=None (X = I) trains via the embedding-table first layer."""
+    g, x, y = _two_blobs_graph(n=60, seed=5)
+    n = len(y)
+    rng = np.random.RandomState(6)
+    perm = rng.permutation(n)
+    cfg = TrainConfig(n_hidden=16, max_epoch=60, seed=3, val_ratio=0.2)
+    tr = Trainer(g, None, y, perm[: n // 2], perm[n // 2 :],
+                 num_classes=2, config=cfg)
+    tr.fit(verbose=False)
+    res = tr.test()
+    # identity features let the model memorize structure: should fit well
+    assert res["acc"] > 0.75, res
+    assert res["model_param"] == g.n_nodes * 16 + 16 + 16 * 2 + 2

@@ -24,6 +24,7 @@ def _add_build_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_df", type=float, default=0.95)
     p.add_argument("--no_word2vec", action="store_true")
     p.add_argument("--lda_backend", default="jax", choices=["jax", "sklearn"])
+    p.add_argument("--lda_max_iter", type=int, default=60)
     p.add_argument("--data_root", default="data")
 
 
@@ -39,6 +40,7 @@ def cmd_build_graph(args) -> int:
         max_df=args.max_df,
         use_word2vec=not args.no_word2vec,
         lda_backend=args.lda_backend,
+        lda_max_iter=args.lda_max_iter,
         data_root=args.data_root,
     )
     g = b.build()

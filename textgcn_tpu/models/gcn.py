@@ -60,14 +60,23 @@ def gcn_init(
 def gcn_forward(
     params: Params,
     graph,
-    x: jnp.ndarray,
+    x: Optional[jnp.ndarray],
     *,
     dropout: float = 0.5,
     train: bool = False,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Logits for all nodes: gc2(dropout(relu(gc1(x))))."""
-    h = graph_conv(params["gc1"], graph, x)
+    """Logits for all nodes: gc2(dropout(relu(gc1(x)))).
+
+    ``x=None`` selects **identity features** (classic TextGCN: X = I_N), in
+    which case layer 1 reduces to ``Â @ W1 + b1`` with W1 of shape
+    [n_nodes, n_hidden] — the N×N identity is never materialized (an
+    embedding-table view of the same math, the TPU-right formulation).
+    """
+    if x is None:
+        h = spmm(graph, params["gc1"]["w"]) + params["gc1"]["b"]
+    else:
+        h = graph_conv(params["gc1"], graph, x)
     h = jax.nn.relu(h)
     if train and dropout > 0.0:
         keep = 1.0 - dropout

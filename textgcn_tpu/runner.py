@@ -90,6 +90,7 @@ def run_experiment_config(config_path: str) -> int:
             max_df=build_cfg.get("max_df", 0.95),
             use_word2vec=build_cfg.get("use_word2vec", True),
             lda_backend=build_cfg.get("lda_backend", "jax"),
+            lda_max_iter=build_cfg.get("lda_max_iter", 60),
             data_root=data_root,
         )
         builder.build()

@@ -80,6 +80,35 @@ def load_graph_edges(
     return SparseGraph.from_coo(r, c, v, n_nodes, pad_to_multiple=pad_to_multiple)
 
 
+def prepare_docword_data(
+    dataset: str,
+    data_root: str = "data",
+    graph_dir: Optional[str] = None,
+) -> PreparedData:
+    """Classic TextGCN doc-word graph → identity-feature training inputs.
+
+    Features are identity (X = I_N, never materialized — see
+    ``gcn_forward(x=None)``); nodes are docs [0, D) then words [D, D+W).
+    """
+    graph_dir = graph_dir or os.path.join(data_root, "graph")
+    base = os.path.join(graph_dir, f"{dataset}_docword")
+    labels = load_labels(
+        os.path.join(data_root, "text_dataset", f"{dataset}.txt")
+    )
+    with open(base + "_vocab.txt", encoding="utf-8") as f:
+        n_words = sum(1 for line in f if line.strip())
+    n_nodes = labels.n_docs + n_words
+    graph = load_graph_edges(base + ".txt", n_nodes)
+    return PreparedData(
+        graph=graph,
+        features=None,
+        labels=labels,
+        n_feat=n_nodes,
+        num_docs=labels.n_docs,
+        num_topics=0,
+    )
+
+
 def prepare_topic_data(
     dataset: str,
     data_root: str = "data",

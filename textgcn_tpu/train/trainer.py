@@ -181,7 +181,13 @@ class Trainer:
         config: TrainConfig = TrainConfig(),
     ):
         self.graph = graph
-        self.x = jnp.asarray(features, dtype=jnp.float32)
+        # features=None → identity features (classic TextGCN); layer 1
+        # becomes an embedding table of shape [n_nodes, n_hidden]
+        self.x = (
+            None
+            if features is None
+            else jnp.asarray(features, dtype=jnp.float32)
+        )
         self.y = jnp.asarray(np.asarray(target), dtype=jnp.int32)
         self.train_idx_all = np.asarray(train_idx)
         self.test_idx = jnp.asarray(np.asarray(test_idx), dtype=jnp.int32)
@@ -200,8 +206,11 @@ class Trainer:
 
         key = jax.random.PRNGKey(cfg.seed)
         key, init_key = jax.random.split(key)
+        n_feat = (
+            self.graph.n_nodes if self.x is None else self.x.shape[1]
+        )
         params = gcn_init(
-            init_key, self.x.shape[1], cfg.n_hidden, self.num_classes
+            init_key, n_feat, cfg.n_hidden, self.num_classes
         )
         self.model_param = sum(
             int(p.size) for p in jax.tree_util.tree_leaves(params)

@@ -1,0 +1,86 @@
+"""Typed experiment configuration.
+
+One dataclass shared by all pipeline stages (the reference scatters defaults
+across four argparse CLIs and duplicated ``cfg.get`` calls,
+run_experiment.py:64-72). Serializable to/from YAML; written into run
+artifacts like the reference's ``config_used.yaml``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class BuildConfig:
+    num_topics: int = 50
+    doc_topic_threshold: float = 0.02
+    topic_topic_threshold: float = 0.3
+    min_df: int = 2
+    max_df: float = 0.95
+    use_word2vec: bool = True
+    lda_backend: str = "jax"
+    lda_max_iter: int = 60
+
+
+@dataclasses.dataclass
+class TrainSection:
+    times: int = 1
+    nhid: int = 200
+    lr: float = 0.02
+    dropout: float = 0.5
+    max_epoch: int = 200
+    early_stopping: int = 10
+    val_ratio: float = 0.1
+    epoch_block: int = 10
+
+
+@dataclasses.dataclass
+class InspectConfig:
+    enabled: bool = True
+    top_n_words: int = 10
+    top_n_docs: int = 5
+    heatmap: bool = True
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    dataset: str = "R8"
+    data_root: str = "data"
+    build: BuildConfig = dataclasses.field(default_factory=BuildConfig)
+    train: TrainSection = dataclasses.field(default_factory=TrainSection)
+    inspect: InspectConfig = dataclasses.field(default_factory=InspectConfig)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "ExperimentConfig":
+        def fill(cls, sub: Optional[Dict[str, Any]]):
+            sub = sub or {}
+            known = {f.name for f in dataclasses.fields(cls)}
+            unknown = set(sub) - known
+            if unknown:
+                raise ValueError(
+                    f"unknown {cls.__name__} keys: {sorted(unknown)}"
+                )
+            return cls(**sub)
+
+        return ExperimentConfig(
+            dataset=d.get("dataset", "R8"),
+            data_root=d.get("data_root", "data"),
+            build=fill(BuildConfig, d.get("build")),
+            train=fill(TrainSection, d.get("train")),
+            inspect=fill(InspectConfig, d.get("inspect")),
+        )
+
+    @staticmethod
+    def from_yaml(path: str) -> "ExperimentConfig":
+        with open(path, encoding="utf-8") as f:
+            return ExperimentConfig.from_dict(yaml.safe_load(f) or {})
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_yaml(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
