@@ -1,0 +1,176 @@
+"""SpMM throughput benchmark: segment-sum vs Pallas BSR vs dense.
+
+Publishes the numbers the reference never measured (BASELINE.md: "SpMM
+throughput — not measured by reference"): edges/s, effective GFLOP/s, and
+fraction of the HBM-bandwidth roofline.
+
+Roofline model: full-batch GCN SpMM is bandwidth-bound. The minimum HBM
+traffic for Â@X on a graph with E edges and F-dim features is roughly
+  read  E*(idx+val)  +  gather E*F*4 (worst case, no reuse)
+  write N*F*4
+The BSR kernel's traffic is blocks (nnzb*bm*bn*dtype) + gathered X tiles +
+output. We report measured edges/s and the bandwidth-equivalent utilization.
+
+Run: PYTHONPATH=. python benchmarks/spmm_bench.py [--large]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Callable, Dict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HBM_BW_BYTES = 819e9  # TPU v5e HBM bandwidth (public spec)
+
+
+def _time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> float:
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def synthetic_powerlaw_graph(
+    n: int, avg_degree: int, seed: int = 0, sorted_rows: bool = True
+):
+    """Power-law-ish degree graph: preferential dst sampling."""
+    rng = np.random.RandomState(seed)
+    e = n * avg_degree
+    row = rng.randint(0, n, e)
+    # skewed cols: mix uniform with zipf-clipped hubs
+    hubs = np.minimum(rng.zipf(1.5, e) - 1, n - 1)
+    uni = rng.randint(0, n, e)
+    col = np.where(rng.rand(e) < 0.3, hubs, uni)
+    val = rng.rand(e).astype(np.float32)
+    return row, col, val
+
+
+def bench_graph(
+    row, col, val, n: int, f: int = 200, label: str = "", methods=("segment", "bsr")
+) -> Dict[str, Dict[str, float]]:
+    import jax.numpy as jnp
+
+    from textgcn_tpu.graph.structs import BlockSparseGraph, SparseGraph
+    from textgcn_tpu.ops.pallas_spmm import spmm_bsr
+    from textgcn_tpu.ops.spmm import spmm
+
+    e = len(row)
+    x = np.random.RandomState(1).randn(n, f).astype(np.float32)
+    xj = jnp.asarray(x)
+    out: Dict[str, Dict[str, float]] = {}
+
+    if "segment" in methods:
+        g = SparseGraph.from_coo(row, col, val, n, pad_to_multiple=8192)
+        dt = _time_fn(lambda a: spmm(g, a), xj)
+        # minimal-traffic model for gather-scatter
+        bytes_moved = e * (4 + 4 + 4) + e * f * 4 + n * f * 4
+        out["segment"] = {
+            "ms": dt * 1e3,
+            "edges_per_s": e / dt,
+            "gflops": 2 * e * f / dt / 1e9,
+            "roofline_frac": bytes_moved / dt / HBM_BW_BYTES,
+        }
+    if "bsr" in methods:
+        bg = BlockSparseGraph.from_coo(row, col, val, n, bm=128, bn=128)
+        dt = _time_fn(lambda a: spmm_bsr(bg, a), xj)
+        nnzb = bg.blocks.shape[0]
+        bytes_moved = (
+            nnzb * bg.bm * bg.bn * 4 + nnzb * bg.bn * f * 4 + n * f * 4
+        )
+        out["bsr"] = {
+            "ms": dt * 1e3,
+            "edges_per_s": e / dt,
+            "gflops": 2 * e * f / dt / 1e9,
+            "mxu_gflops": 2 * nnzb * bg.bm * bg.bn * f / dt / 1e9,
+            "nnzb": nnzb,
+            "block_occupancy": e / (nnzb * bg.bm * bg.bn),
+            "roofline_frac": bytes_moved / dt / HBM_BW_BYTES,
+        }
+    if "dense" in methods:
+        import jax
+
+        g = SparseGraph.from_coo(row, col, val, n, pad_to_multiple=8192)
+        a_dense = g.to_dense()
+        dt = _time_fn(
+            lambda a: jnp.dot(a_dense, a, preferred_element_type=jnp.float32),
+            xj,
+        )
+        bytes_moved = n * n * 4 + 2 * n * f * 4
+        out["dense"] = {
+            "ms": dt * 1e3,
+            "edges_per_s": e / dt,
+            "gflops": 2 * n * n * f / dt / 1e9,
+            "roofline_frac": bytes_moved / dt / HBM_BW_BYTES,
+        }
+    for k, v in out.items():
+        print(f"[{label}] {k}: " + json.dumps({kk: round(vv, 4) if isinstance(vv, float) else vv for kk, vv in v.items()}))
+    return out
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--large", action="store_true", help="add 1M-node graph")
+    p.add_argument("--f", type=int, default=200)
+    args = p.parse_args()
+
+    # R8-scale real graph if artifacts exist
+    try:
+        from textgcn_tpu.train.prepare import load_graph_edges
+
+        g = load_graph_edges("data/graph/R8_topic.txt", 7724)
+        e = g.n_edges
+        bench_graph(
+            np.asarray(g.row)[:e],
+            np.asarray(g.col)[:e],
+            np.asarray(g.val)[:e],
+            7724,
+            f=args.f,
+            label="R8 (7.7k nodes, 74k nnz)",
+            methods=("segment", "bsr", "dense"),
+        )
+    except FileNotFoundError:
+        print("[skip] no R8 artifacts")
+
+    # uniform-sparse synthetic: segment-sum path (BSR dense-tile format is
+    # wrong for uniform sparsity — its tiles would be ~0.05% occupied)
+    row, col, val = synthetic_powerlaw_graph(100_000, 50)
+    bench_graph(
+        row, col, val, 100_000, f=args.f,
+        label="synthetic uniform 100k x 5M", methods=("segment",),
+    )
+
+    # clustered synthetic shaped like a doc-topic graph (docs x 512 hub
+    # columns): the BSR regime
+    rng = np.random.RandomState(3)
+    n, e = 200_000, 4_000_000
+    row = rng.randint(0, n, e)
+    col = rng.randint(0, 512, e)  # edges concentrate in 4 block-columns
+    val = rng.rand(e).astype(np.float32)
+    bench_graph(
+        row, col, val, n, f=args.f,
+        label="synthetic clustered 200k x 4M", methods=("segment", "bsr"),
+    )
+
+    if args.large:
+        row, col, val = synthetic_powerlaw_graph(1_000_000, 32)
+        bench_graph(
+            row, col, val, 1_000_000, f=args.f,
+            label="synthetic uniform 1M x 32M", methods=("segment",),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

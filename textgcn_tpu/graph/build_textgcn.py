@@ -99,7 +99,37 @@ def window_word_incidence(
 def word_word_pmi(
     documents: Sequence[str], vocab: List[str], window_size: int = 20
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Positive-PMI word pairs (i < j): log(p_ij / (p_i p_j)) > 0."""
+    """Positive-PMI word pairs (i < j): log(p_ij / (p_i p_j)) > 0.
+
+    Uses the native C++ window counter when available; otherwise the scipy
+    incidence-matmul path."""
+    try:
+        from textgcn_tpu import native
+
+        if native.available():
+            w2i = {w: i for i, w in enumerate(vocab)}
+            tokens: List[int] = []
+            offsets = [0]
+            for doc in documents:
+                tokens.extend(
+                    w2i[w] for w in doc.split() if w in w2i
+                )
+                offsets.append(len(tokens))
+            i, j, cij, occ, n_windows = native.window_cooccurrence(
+                np.asarray(tokens, dtype=np.int32),
+                np.asarray(offsets, dtype=np.int64),
+                len(vocab),
+                window_size,
+            )
+            if n_windows == 0:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z, np.zeros(0)
+            occ = occ.astype(np.float64)
+            pmi = np.log(cij * n_windows / (occ[i] * occ[j]))
+            keep = pmi > 0
+            return i[keep], j[keep], pmi[keep]
+    except RuntimeError:
+        pass
     inc = window_word_incidence(documents, vocab, window_size)
     n_windows = inc.shape[0]
     if n_windows == 0:

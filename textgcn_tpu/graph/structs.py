@@ -156,11 +156,18 @@ class BlockSparseGraph:
         bm: int = 128,
         bn: int = 128,
         dtype=jnp.float32,
+        max_block_bytes: int = 2 << 30,
     ) -> "BlockSparseGraph":
         """Tile a COO matrix into dense (bm, bn) blocks, keeping nonzero tiles.
 
         Blocks are sorted by (block_row, block_col) so that the Pallas kernel
         can accumulate consecutive tiles of the same block-row in VMEM.
+
+        BSR is a *clustered-structure* format: it shines when edges
+        concentrate in few tiles (doc-topic graphs, degree-sorted corpora).
+        For uniformly sparse graphs the dense-tile materialization explodes;
+        ``max_block_bytes`` guards against that — use the segment-sum SpMM
+        there instead.
         """
         row = np.asarray(row, dtype=np.int64)
         col = np.asarray(col, dtype=np.int64)
@@ -188,6 +195,14 @@ class BlockSparseGraph:
             extra_keys = missing * n_block_cols + np.minimum(missing, n_block_cols - 1)
             uniq_keys = np.sort(np.concatenate([uniq_keys, extra_keys]))
         nnzb = max(len(uniq_keys), 1)
+        itemsize = jnp.dtype(dtype).itemsize
+        if nnzb * bm * bn * itemsize > max_block_bytes:
+            raise ValueError(
+                f"BSR blocks would take {nnzb * bm * bn * itemsize / 1e9:.1f}"
+                f" GB ({nnzb} tiles of {bm}x{bn}); the graph is too uniformly"
+                " sparse for block format — use the segment-sum SpMM"
+                " (SparseGraph) or raise max_block_bytes"
+            )
         blocks = np.zeros((nnzb, bm, bn), dtype=np.float32)
         block_rows = np.zeros((nnzb,), dtype=np.int32)
         block_cols = np.zeros((nnzb,), dtype=np.int32)

@@ -73,8 +73,25 @@ def build_topic_features(
 def load_graph_edges(
     edgelist_path: str, n_nodes: int, pad_to_multiple: int = 4096
 ) -> SparseGraph:
-    """Edgelist → max-symmetrized, normalized SparseGraph."""
+    """Edgelist → max-symmetrized, normalized SparseGraph.
+
+    The parse/coalesce/normalize chain runs in the native C++ core when
+    available, with the numpy implementations as fallback (identical
+    results — cross-checked in tests/test_native.py)."""
     src, dst, w = read_weighted_edgelist(edgelist_path)
+    try:
+        from textgcn_tpu import native
+
+        if native.available():
+            r, c, v = native.coalesce(
+                src, dst, w, n_nodes, reduce="max", symmetrize=True
+            )
+            r, c, v = native.sym_normalize(r, c, v, n_nodes)
+            return SparseGraph.from_coo(
+                r, c, v, n_nodes, pad_to_multiple=pad_to_multiple
+            )
+    except Exception:
+        pass
     r, c, v = max_symmetrize_coo(src, dst, w, n_nodes)
     r, c, v = sym_normalize_coo(r, c, v, n_nodes)
     return SparseGraph.from_coo(r, c, v, n_nodes, pad_to_multiple=pad_to_multiple)
