@@ -84,20 +84,24 @@ def bench_graph(
         }
     if "bsr" in methods:
         bg = BlockSparseGraph.from_coo(row, col, val, n, bm=128, bn=128)
-        dt = _time_fn(lambda a: spmm_bsr(bg, a), xj)
         nnzb = bg.blocks.shape[0]
-        bytes_moved = (
-            nnzb * bg.bm * bg.bn * 4 + nnzb * bg.bn * f * 4 + n * f * 4
-        )
-        out["bsr"] = {
-            "ms": dt * 1e3,
-            "edges_per_s": e / dt,
-            "gflops": 2 * e * f / dt / 1e9,
-            "mxu_gflops": 2 * nnzb * bg.bm * bg.bn * f / dt / 1e9,
-            "nnzb": nnzb,
-            "block_occupancy": e / (nnzb * bg.bm * bg.bn),
-            "roofline_frac": bytes_moved / dt / HBM_BW_BYTES,
-        }
+        for tag, use_bf16 in (("bsr", False), ("bsr_bf16", True)):
+            dt = _time_fn(lambda a: spmm_bsr(bg, a, bf16=use_bf16), xj)
+            isz = 2 if use_bf16 else 4
+            bytes_moved = (
+                nnzb * bg.bm * bg.bn * isz
+                + nnzb * bg.bn * f * isz
+                + n * f * 4
+            )
+            out[tag] = {
+                "ms": dt * 1e3,
+                "edges_per_s": e / dt,
+                "gflops": 2 * e * f / dt / 1e9,
+                "mxu_gflops": 2 * nnzb * bg.bm * bg.bn * f / dt / 1e9,
+                "nnzb": nnzb,
+                "block_occupancy": e / (nnzb * bg.bm * bg.bn),
+                "roofline_frac": bytes_moved / dt / HBM_BW_BYTES,
+            }
     if "dense" in methods:
         import jax
 

@@ -83,3 +83,23 @@ def test_sparse_graph_roundtrip():
     np.testing.assert_allclose(
         np.asarray(g.to_dense()), m.toarray(), rtol=1e-6, atol=1e-6
     )
+
+
+def test_bsr_bf16_close_to_f32():
+    m = _random_graph(200, 1500, seed=9)
+    x = np.random.RandomState(4).randn(200, 64).astype(np.float32)
+    g = BlockSparseGraph.from_coo(m.row, m.col, m.data, 200, bm=64, bn=64)
+    f32 = np.asarray(spmm_bsr(g, jnp.asarray(x), interpret=True))
+    bf16 = np.asarray(spmm_bsr(g, jnp.asarray(x), interpret=True, bf16=True))
+    # bf16 has ~8 mantissa bits: expect ~1e-2 relative agreement
+    denom = np.maximum(np.abs(f32), 1.0)
+    assert np.max(np.abs(f32 - bf16) / denom) < 5e-2
+
+
+def test_bsr_rejects_uniform_sparse_blowup():
+    rng = np.random.RandomState(0)
+    n, e = 50_000, 200_000
+    row, col = rng.randint(0, n, e), rng.randint(0, n, e)
+    val = rng.rand(e)
+    with pytest.raises(ValueError, match="uniformly sparse"):
+        BlockSparseGraph.from_coo(row, col, val, n, max_block_bytes=1 << 30)

@@ -20,6 +20,7 @@ Requirements (enforced by ``BlockSparseGraph.from_coo``):
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -49,13 +50,22 @@ def _bsr_kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def spmm_bsr(graph: BlockSparseGraph, x: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+def spmm_bsr(
+    graph: BlockSparseGraph,
+    x: jnp.ndarray,
+    interpret: bool = False,
+    bf16: bool = False,
+):
     """Â @ x via the Pallas BSR kernel.
 
     Args:
       graph: BlockSparseGraph over n_nodes (blocks cover a padded square dim).
       x: [n_nodes, F] features.
+      bf16: cast blocks and features to bfloat16 on the way in (halves HBM
+        traffic, doubles MXU rate; accumulation stays float32). Adjacency
+        values are normalized edge weights in [0, 1] — well inside bf16
+        range; end-task accuracy is unaffected at GCN precision needs.
     Returns:
       [n_nodes, F] float32.
     """
@@ -66,6 +76,11 @@ def spmm_bsr(graph: BlockSparseGraph, x: jnp.ndarray, interpret: bool = False):
     f_pad = _round_up(f, 128)
     xp = jnp.zeros((n_pad, f_pad), dtype=x.dtype)
     xp = xp.at[:n, :f].set(x)
+    if bf16:
+        xp = xp.astype(jnp.bfloat16)
+        graph = dataclasses.replace(
+            graph, blocks=graph.blocks.astype(jnp.bfloat16)
+        )
 
     nnzb = graph.blocks.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(

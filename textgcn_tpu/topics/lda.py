@@ -125,6 +125,15 @@ class LDA:
             chunk[: hi - lo] = x[lo:hi].toarray()
             yield lo, hi, chunk
 
+    def _device_chunks(self, x: sp.csr_matrix):
+        """Densified doc chunks, placed on device ONCE and reused across all
+        EM iterations — re-transferring identical counts every iteration
+        dominated fit() wall-clock on larger corpora (host→HBM is the
+        bottleneck, not the E-step matmuls)."""
+        return [
+            (lo, hi, jnp.asarray(chunk)) for lo, hi, chunk in self._chunks(x)
+        ]
+
     def _priors(self):
         k = self.n_components
         alpha = self.doc_topic_prior if self.doc_topic_prior else 1.0 / k
@@ -141,17 +150,18 @@ class LDA:
         lam = rs.gamma(100.0, 0.01, (k, n_words)).astype(np.float32)
 
         lam_j = jnp.asarray(lam)
+        chunks = self._device_chunks(x)
         for it in range(self.max_iter):
             exp_elog_beta = _dirichlet_expectation_exp(lam_j)
             sstats = jnp.zeros((k, n_words), dtype=jnp.float32)
-            for lo, hi, chunk in self._chunks(x):
+            for lo, hi, chunk in chunks:
                 gamma0 = jnp.asarray(
                     rs.gamma(100.0, 0.01, (chunk.shape[0], k)).astype(
                         np.float32
                     )
                 )
                 _, s = _e_step(
-                    jnp.asarray(chunk),
+                    chunk,
                     gamma0,
                     exp_elog_beta,
                     jnp.float32(alpha),
