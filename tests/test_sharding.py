@@ -88,3 +88,32 @@ def test_sharded_train_step_runs_and_learns():
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses[:3] + losses[-3:]
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_spmm_halo_matches_single_device(n_shards):
+    from textgcn_tpu.parallel.halo import partition_rows_halo, spmm_halo
+
+    g = _graph(n=90, nnz=700, seed=11)
+    mesh = make_mesh(n_shards)
+    hg = partition_rows_halo(g, n_shards)
+    x = np.random.RandomState(5).randn(g.n_nodes, 16).astype(np.float32)
+    xp = pad_features(x, hg.n_pad)
+    got = np.asarray(spmm_halo(hg, jnp.asarray(xp), mesh))[: g.n_nodes]
+    want = np.asarray(spmm(g, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_halo_matches_allgather_path():
+    from textgcn_tpu.parallel.halo import partition_rows_halo, spmm_halo
+
+    g = _graph(n=128, nnz=900, seed=13)
+    mesh = make_mesh(8)
+    pg = partition_rows(g, 8)
+    hg = partition_rows_halo(g, 8)
+    assert hg.n_pad == pg.n_pad
+    x = np.random.RandomState(6).randn(g.n_nodes, 24).astype(np.float32)
+    xp = pad_features(x, hg.n_pad)
+    a = np.asarray(spmm_sharded(pg, jnp.asarray(xp), mesh))
+    b = np.asarray(spmm_halo(hg, jnp.asarray(xp), mesh))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -153,8 +153,11 @@ class TopicGraphBuilder:
             topic_embeddings, self.topic_topic_threshold, num_docs
         )
         if self.verbose:
+            from textgcn_tpu.utils.logging import graph_stats
+
             print(f"Document-topic edges: {len(s1)}")
             print(f"Topic-topic edges: {len(s2)}")
+            print(graph_stats(num_docs + num_topics, len(s1) + len(s2)))
         return TopicGraph(
             src=np.concatenate([s1, s2]),
             dst=np.concatenate([d1, d2]),

@@ -70,7 +70,7 @@ def spmm_sharded(pg: PartitionedGraph, x: jnp.ndarray, mesh: Mesh) -> jnp.ndarra
 
 def sharded_gcn_forward(
     params,
-    pg: PartitionedGraph,
+    pg,
     x: jnp.ndarray,
     mesh: Mesh,
     *,
@@ -78,16 +78,29 @@ def sharded_gcn_forward(
     train: bool = False,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Row-sharded logits [n_pad, C]."""
+    """Row-sharded logits [n_pad, C].
+
+    ``pg`` may be a :class:`PartitionedGraph` (all-gather aggregation,
+    O(N·F) per-chip memory) or a
+    :class:`textgcn_tpu.parallel.halo.HaloPartitionedGraph` (ring halo
+    exchange, O(N/P·F) memory) — the aggregation dispatches on type.
+    """
+    from textgcn_tpu.parallel.halo import HaloPartitionedGraph, spmm_halo
+
+    agg = (
+        (lambda s: spmm_halo(pg, s, mesh))
+        if isinstance(pg, HaloPartitionedGraph)
+        else (lambda s: spmm_sharded(pg, s, mesh))
+    )
     support = jnp.dot(x, params["gc1"]["w"], preferred_element_type=jnp.float32)
-    h = spmm_sharded(pg, support, mesh) + params["gc1"]["b"]
+    h = agg(support) + params["gc1"]["b"]
     h = jax.nn.relu(h)
     if train and dropout > 0.0:
         keep = 1.0 - dropout
         mask = jax.random.bernoulli(rng, keep, h.shape)
         h = jnp.where(mask, h / keep, 0.0)
     support2 = jnp.dot(h, params["gc2"]["w"], preferred_element_type=jnp.float32)
-    return spmm_sharded(pg, support2, mesh) + params["gc2"]["b"]
+    return agg(support2) + params["gc2"]["b"]
 
 
 def make_sharded_train_step(

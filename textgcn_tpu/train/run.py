@@ -77,7 +77,10 @@ def run_experiment(
 
     accs = [r["test"]["acc"] for r in runs]
     f1s = [r["test"]["macro_f1"] for r in runs]
+    from textgcn_tpu.utils.profiling import device_memory_stats
+
     summary = {
+        "device_memory": device_memory_stats(),
         "dataset": dataset,
         "times": len(seeds),
         "hyperparameters": dataclasses.asdict(config),

@@ -304,3 +304,26 @@ class Trainer:
         out["train_time"] = self.train_time
         out["model_param"] = self.model_param
         return out
+
+    def save(self, path: str) -> str:
+        """Orbax checkpoint of the trained params + run metadata (the
+        reference's checkpoint path is dead code, utils.py:244,254 —
+        here it works)."""
+        from textgcn_tpu.train.checkpoint import save_checkpoint
+
+        if self.params is None:
+            raise ValueError("fit() first")
+        return save_checkpoint(
+            path,
+            self.params,
+            metadata={
+                "epochs_run": len(self.history),
+                "seed": self.cfg.seed,
+            },
+        )
+
+    def load(self, path: str) -> None:
+        """Restore params from an Orbax checkpoint."""
+        from textgcn_tpu.train.checkpoint import restore_checkpoint
+
+        self.params = restore_checkpoint(path)["params"]
