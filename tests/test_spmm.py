@@ -103,3 +103,16 @@ def test_bsr_rejects_uniform_sparse_blowup():
     val = rng.rand(e)
     with pytest.raises(ValueError, match="uniformly sparse"):
         BlockSparseGraph.from_coo(row, col, val, n, max_block_bytes=1 << 30)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_bsr_grouped_matches_dense(group):
+    from textgcn_tpu.ops.pallas_spmm import pack_groups, spmm_bsr_grouped
+
+    m = _random_graph(260, 2000, seed=12)
+    x = np.random.RandomState(8).randn(260, 48).astype(np.float32)
+    g = BlockSparseGraph.from_coo(m.row, m.col, m.data, 260, bm=64, bn=64)
+    gg = pack_groups(g, group=group)
+    got = np.asarray(spmm_bsr_grouped(gg, jnp.asarray(x), interpret=True))
+    want = m.toarray() @ x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -35,6 +35,144 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Grouped (K-packed) BSR: G tiles of one block-row per grid step
+# ---------------------------------------------------------------------------
+#
+# The flat one-tile-per-step kernel is per-step-overhead bound (~1.1us/step
+# vs ~0.4us DMA+MXU floor at 128x128xF=256). Packing G tiles of the SAME
+# block-row into one step turns G small matmuls into one
+# (bm, G*bn) @ (G*bn, F) MXU call and cuts step count by G. Rows' tile
+# lists are padded to a multiple of G with zero tiles pointing at col 0 —
+# they contribute nothing.
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blocks", "group_rows", "group_cols"],
+    meta_fields=["n_nodes", "bm", "bn", "group", "n_block_rows"],
+)
+@dataclasses.dataclass(frozen=True)
+class GroupedBSR:
+    blocks: jnp.ndarray  # [n_groups, bm, group*bn]
+    group_rows: jnp.ndarray  # [n_groups] int32, ascending
+    group_cols: jnp.ndarray  # [n_groups * group] int32, flat (2-D scalar
+    # prefetch arrays are padded in SMEM and can blow the 1 MB budget)
+    n_nodes: int
+    bm: int
+    bn: int
+    group: int
+    n_block_rows: int
+
+
+def pack_groups(g: BlockSparseGraph, group: int = 4) -> GroupedBSR:
+    """Host-side packing of a BlockSparseGraph into row-uniform groups."""
+    import numpy as np
+
+    blocks = np.asarray(g.blocks)
+    rows = np.asarray(g.block_rows)
+    cols = np.asarray(g.block_cols)
+    out_blocks = []
+    out_rows = []
+    out_cols = []
+    zero_tile = np.zeros((g.bm, g.bn), dtype=blocks.dtype)
+    for r in np.unique(rows):
+        sel = np.nonzero(rows == r)[0]
+        pad = (-len(sel)) % group
+        tiles = [blocks[i] for i in sel] + [zero_tile] * pad
+        tcols = list(cols[sel]) + [0] * pad
+        for lo in range(0, len(tiles), group):
+            out_blocks.append(
+                np.concatenate(tiles[lo : lo + group], axis=1)
+            )
+            out_rows.append(r)
+            out_cols.append(tcols[lo : lo + group])
+    return GroupedBSR(
+        blocks=jnp.asarray(np.stack(out_blocks)),
+        group_rows=jnp.asarray(np.asarray(out_rows, dtype=np.int32)),
+        group_cols=jnp.asarray(
+            np.asarray(out_cols, dtype=np.int32).reshape(-1)
+        ),
+        n_nodes=g.n_nodes,
+        bm=g.bm,
+        bn=g.bn,
+        group=group,
+        n_block_rows=g.n_block_rows,
+    )
+
+
+def _make_grouped_kernel(group: int):
+    def kernel(rows_ref, cols_ref, a_ref, *rest):
+        xs = rest[:group]
+        o_ref = rest[group]
+        i = pl.program_id(0)
+        is_new_row = jnp.logical_or(
+            i == 0, rows_ref[jnp.maximum(i - 1, 0)] != rows_ref[i]
+        )
+
+        @pl.when(is_new_row)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        xg = jnp.concatenate([x[...] for x in xs], axis=0)
+        o_ref[...] += jax.lax.dot(
+            a_ref[0], xg, preferred_element_type=jnp.float32
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+def spmm_bsr_grouped(
+    gg: GroupedBSR, x: jnp.ndarray, interpret: bool = False, bf16: bool = False
+):
+    """Â @ x via the grouped BSR kernel."""
+    n = gg.n_nodes
+    bm, bn, group = gg.bm, gg.bn, gg.group
+    n_pad = gg.n_block_rows * bm
+    f = x.shape[1]
+    f_pad = _round_up(f, 128)
+    xp = jnp.zeros((n_pad, f_pad), dtype=x.dtype)
+    xp = xp.at[:n, :f].set(x)
+    if bf16:
+        xp = xp.astype(jnp.bfloat16)
+        gg = dataclasses.replace(gg, blocks=gg.blocks.astype(jnp.bfloat16))
+
+    n_groups = gg.blocks.shape[0]
+
+    def x_spec(k):
+        return pl.BlockSpec(
+            (bn, f_pad), lambda i, rows, cols, k=k: (cols[i * group + k], 0)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, bm, group * bn), lambda i, rows, cols: (i, 0, 0)),
+        ]
+        + [x_spec(k) for k in range(group)],
+        out_specs=pl.BlockSpec((bm, f_pad), lambda i, rows, cols: (rows[i], 0)),
+    )
+    out = pl.pallas_call(
+        _make_grouped_kernel(group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_groups * bm * group * bn * f_pad,
+            bytes_accessed=n_groups
+            * (
+                bm * group * bn * gg.blocks.dtype.itemsize
+                + group * bn * f_pad * xp.dtype.itemsize
+            )
+            + n_pad * f_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gg.group_rows, gg.group_cols, gg.blocks, *([xp] * group))
+    return out[:n, :f]
+
+
 def _bsr_kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
     i = pl.program_id(0)
     is_new_row = jnp.logical_or(
