@@ -49,6 +49,21 @@ def cmd_build_graph(args) -> int:
     return 0
 
 
+def cmd_build_docword(args) -> int:
+    from textgcn_tpu.graph.build_textgcn import TextGCNGraphBuilder
+
+    b = TextGCNGraphBuilder(
+        args.dataset, window_size=args.window, data_root=args.data_root
+    )
+    g = b.build()
+    b.save()
+    print(
+        f"built {args.dataset} doc-word graph: {g.n_nodes} nodes "
+        f"({g.num_docs} docs + {g.num_words} words), {len(g.src)} edges"
+    )
+    return 0
+
+
 def cmd_train(args) -> int:
     from textgcn_tpu.train.run import run_experiment
     from textgcn_tpu.train.trainer import TrainConfig
@@ -61,12 +76,19 @@ def cmd_train(args) -> int:
         early_stopping=args.early_stopping,
         val_ratio=args.val_ratio,
     )
+    pre_data = None
+    if args.graph == "docword":
+        from textgcn_tpu.train.prepare import prepare_docword_data
+
+        pre_data = prepare_docword_data(args.dataset, data_root=args.data_root)
     summary = run_experiment(
         args.dataset,
         times=args.times,
+        graph_family=args.graph,
         data_root=args.data_root,
         output_dir=args.output_dir,
         config=cfg,
+        pre_data=pre_data,
         verbose=not args.quiet,
     )
     acc = summary["test_accuracy"]
@@ -105,8 +127,20 @@ def main(argv=None) -> int:
     _add_build_args(p)
     p.set_defaults(fn=cmd_build_graph)
 
+    p = sub.add_parser(
+        "build-docword", help="build classic TextGCN doc-word graph"
+    )
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--window", type=int, default=20)
+    p.add_argument("--data_root", default="data")
+    p.set_defaults(fn=cmd_build_docword)
+
     p = sub.add_parser("train", help="train GCN on a built graph")
     p.add_argument("--dataset", required=True)
+    p.add_argument(
+        "--graph", default="topic", choices=["topic", "docword"],
+        help="graph family: topic (TopicGCN) or docword (classic TextGCN)",
+    )
     p.add_argument("--times", type=int, default=1)
     p.add_argument("--data_root", default="data")
     p.add_argument("--output_dir", default="results")

@@ -38,6 +38,7 @@ def aggregate(values: List[float]) -> Dict[str, float]:
 def run_experiment(
     dataset: str,
     times: int = 1,
+    graph_family: str = "topic",
     data_root: str = "data",
     output_dir: str = "results",
     config: TrainConfig = TrainConfig(),
@@ -82,6 +83,7 @@ def run_experiment(
     summary = {
         "device_memory": device_memory_stats(),
         "dataset": dataset,
+        "graph_family": graph_family,
         "times": len(seeds),
         "hyperparameters": dataclasses.asdict(config),
         "test_accuracy": aggregate(accs),
@@ -98,13 +100,14 @@ def run_experiment(
 def write_reports(summary: Dict[str, Any], output_dir: str) -> None:
     os.makedirs(output_dir, exist_ok=True)
     ds = summary["dataset"]
-    json_path = os.path.join(ds and output_dir, f"{ds}_topic_training_results.json")
+    fam = summary.get("graph_family", "topic")
+    json_path = os.path.join(output_dir, f"{ds}_{fam}_training_results.json")
     with open(json_path, "w", encoding="utf-8") as f:
         json.dump(summary, f, indent=2)
 
-    txt_path = os.path.join(output_dir, f"{ds}_topic_training_results.txt")
+    txt_path = os.path.join(output_dir, f"{ds}_{fam}_training_results.txt")
     with open(txt_path, "w", encoding="utf-8") as f:
-        f.write(f"TopicGCN training results — {ds}\n")
+        f.write(f"{fam} GCN training results — {ds}\n")
         f.write("=" * 60 + "\n")
         f.write(f"generated: {summary['timestamp']}\n")
         f.write(f"runs: {summary['times']}\n\n")
