@@ -24,6 +24,19 @@ import jax.numpy as jnp
 from textgcn_tpu.graph.structs import BlockSparseGraph, SparseGraph
 
 
+def _spmm_coo_impl(row, col, val, x, n_nodes, indices_are_sorted):
+    xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
+    gathered = xp[col] * val[:, None].astype(x.dtype)
+    out = jax.ops.segment_sum(
+        gathered,
+        row,
+        num_segments=n_nodes + 1,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return out[:n_nodes]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def spmm_coo_segment(
     row: jnp.ndarray,
     col: jnp.ndarray,
@@ -35,6 +48,12 @@ def spmm_coo_segment(
     """(A @ x) for padded COO A. Padding rows (== n_nodes) land in a dropped
     phantom segment; padding vals are 0 anyway.
 
+    Differentiable in ``x`` with a custom VJP: the cotangent is the
+    transpose SpMM ``Aᵀ @ g`` (col/row swapped), so autodiff never stores
+    the [E, F] gather product as a residual — without this, training OOMs
+    at ~50M edges x F=128 on a 16 GB chip. ``val`` is treated as a
+    constant (adjacency weights are not trained in this framework).
+
     Args:
       row, col: [E] int32 (row sorted ascending if indices_are_sorted).
       val:      [E] float.
@@ -43,15 +62,25 @@ def spmm_coo_segment(
     Returns:
       [N, F] float32 result.
     """
-    xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
-    gathered = xp[col] * val[:, None].astype(x.dtype)
-    out = jax.ops.segment_sum(
-        gathered,
-        row,
-        num_segments=n_nodes + 1,
-        indices_are_sorted=indices_are_sorted,
+    return _spmm_coo_impl(row, col, val, x, n_nodes, indices_are_sorted)
+
+
+def _spmm_fwd(row, col, val, x, n_nodes, indices_are_sorted):
+    return (
+        _spmm_coo_impl(row, col, val, x, n_nodes, indices_are_sorted),
+        (row, col, val),
     )
-    return out[:n_nodes]
+
+
+def _spmm_bwd(n_nodes, indices_are_sorted, res, g):
+    row, col, val = res
+    # d/dx (A @ x) applied to cotangent g is Aᵀ @ g: swap row/col. The
+    # transposed rows are NOT sorted, so indices_are_sorted=False.
+    dx = _spmm_coo_impl(col, row, val, g, n_nodes, False)
+    return None, None, None, dx
+
+
+spmm_coo_segment.defvjp(_spmm_fwd, _spmm_bwd)
 
 
 def spmm_dense(a_dense: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
