@@ -24,14 +24,63 @@ import jax.numpy as jnp
 from textgcn_tpu.graph.structs import BlockSparseGraph, SparseGraph
 
 
+# Cap on the transient [E, F] gather product. Above this, the edge stream
+# is processed in chunks under lax.scan so HBM stays bounded (XLA's unsorted
+# scatter-add otherwise materializes the full product — 25.8 GB at 50M edges
+# x F=128, beyond a v5e's 16 GB).
+_GATHER_BYTES_LIMIT = 2 << 30
+
+
+def _chunk_count(e_pad: int, f: int, itemsize: int = 4) -> int:
+    total = e_pad * f * itemsize
+    if total <= _GATHER_BYTES_LIMIT:
+        return 1
+    return -(-total // _GATHER_BYTES_LIMIT)
+
+
 def _spmm_coo_impl(row, col, val, x, n_nodes, indices_are_sorted):
     xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
-    gathered = xp[col] * val[:, None].astype(x.dtype)
-    out = jax.ops.segment_sum(
-        gathered,
-        row,
-        num_segments=n_nodes + 1,
-        indices_are_sorted=indices_are_sorted,
+    e_pad = row.shape[0]
+    n_chunks = _chunk_count(e_pad, x.shape[1])
+    if n_chunks == 1:
+        gathered = xp[col] * val[:, None].astype(x.dtype)
+        out = jax.ops.segment_sum(
+            gathered,
+            row,
+            num_segments=n_nodes + 1,
+            indices_are_sorted=indices_are_sorted,
+        )
+        return out[:n_nodes]
+
+    chunk = -(-e_pad // n_chunks)
+    extra = n_chunks * chunk - e_pad
+    if extra:
+        # Pad the edge stream so it reshapes evenly: phantom row/col land in
+        # the dropped segment, val=0 contributes nothing.
+        row = jnp.concatenate([row, jnp.full((extra,), n_nodes, row.dtype)])
+        col = jnp.concatenate([col, jnp.full((extra,), n_nodes, col.dtype)])
+        val = jnp.concatenate([val, jnp.zeros((extra,), val.dtype)])
+
+    def body(acc, args):
+        r, c, v = args
+        gathered = xp[c] * v[:, None].astype(x.dtype)
+        return (
+            acc
+            + jax.ops.segment_sum(
+                gathered, r, num_segments=n_nodes + 1
+            ),
+            None,
+        )
+
+    acc0 = jnp.zeros((n_nodes + 1, x.shape[1]), dtype=jnp.float32)
+    out, _ = jax.lax.scan(
+        body,
+        acc0,
+        (
+            row.reshape(n_chunks, chunk),
+            col.reshape(n_chunks, chunk),
+            val.reshape(n_chunks, chunk),
+        ),
     )
     return out[:n_nodes]
 
