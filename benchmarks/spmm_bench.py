@@ -30,15 +30,17 @@ HBM_BW_BYTES = 819e9  # TPU v5e HBM bandwidth (public spec)
 
 
 def _time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> float:
-    import jax
+    import jax.numpy as jnp
 
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # force a scalar readback: through the axon tunnel block_until_ready does
+    # not block on device execution, so drain the queue with a reduction
+    float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     return (time.perf_counter() - t0) / iters
 
 
@@ -102,6 +104,38 @@ def bench_graph(
                 "block_occupancy": e / (nnzb * bg.bm * bg.bn),
                 "roofline_frac": bytes_moved / dt / HBM_BW_BYTES,
             }
+    if "onehot" in methods:
+        from textgcn_tpu.ops.pallas_onehot import OneHotGraph, spmm_onehot
+
+        t0 = time.perf_counter()
+        og = OneHotGraph.from_coo(row, col, val, n, f_hint=f)
+        plan_s = time.perf_counter() - t0
+        import jax
+
+        pln = og.fwd
+        e_pad = pln.n_sc * pln.c_sc * pln.k
+        f_pad = ((f + 127) // 128) * 128
+        # spmm_onehot is jitted at definition with the plans as ARGUMENTS —
+        # do not wrap in another jit(lambda): closing over the plan bakes
+        # the edge arrays into the HLO as constants (GBs of compile payload)
+        dt = _time_fn(lambda a: spmm_onehot(og.fwd, og.bwd, a), xj)
+        # gather floor: the unavoidable random read of X rows (measured, the
+        # honest speed-of-light for uniform sparsity on this chip)
+        gt = _time_fn(jax.jit(lambda a: a[pln.col[0]]), xj, iters=5)
+        # traffic: gather read E*F*4 + p write/read E'*Fp*2 each + idx/val + Y
+        bytes_moved = (
+            e * f * 4 + 2 * e_pad * f_pad * 2 + e_pad * 8 + n * f * 4
+        )
+        out["onehot"] = {
+            "ms": dt * 1e3,
+            "edges_per_s": e / dt,
+            "gflops": 2 * e * f / dt / 1e9,
+            "pad_frac": (e_pad - e) / e,
+            "n_superchunks": pln.n_sc,
+            "plan_s": plan_s,
+            "gather_floor_ms": gt * 1e3 * pln.n_sc,
+            "roofline_frac": bytes_moved / dt / HBM_BW_BYTES,
+        }
     if "dense" in methods:
         import jax
 
@@ -127,51 +161,58 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--large", action="store_true", help="add 1M-node graph")
     p.add_argument("--f", type=int, default=200)
+    p.add_argument("--only", default="", help="substring filter on benchmark labels")
     args = p.parse_args()
 
-    # R8-scale real graph if artifacts exist
-    try:
-        from textgcn_tpu.train.prepare import load_graph_edges
+    def want(label):
+        return args.only in label
 
-        g = load_graph_edges("data/graph/R8_topic.txt", 7724)
-        e = g.n_edges
-        bench_graph(
-            np.asarray(g.row)[:e],
-            np.asarray(g.col)[:e],
-            np.asarray(g.val)[:e],
-            7724,
-            f=args.f,
-            label="R8 (7.7k nodes, 74k nnz)",
-            methods=("segment", "bsr", "dense"),
-        )
-    except FileNotFoundError:
-        print("[skip] no R8 artifacts")
+    # R8-scale real graph if artifacts exist
+    if want("R8"):
+        try:
+            from textgcn_tpu.train.prepare import load_graph_edges
+
+            g = load_graph_edges("data/graph/R8_topic.txt", 7724)
+            e = g.n_edges
+            bench_graph(
+                np.asarray(g.row)[:e],
+                np.asarray(g.col)[:e],
+                np.asarray(g.val)[:e],
+                7724,
+                f=args.f,
+                label="R8 (7.7k nodes, 74k nnz)",
+                methods=("segment", "bsr", "dense"),
+            )
+        except FileNotFoundError:
+            print("[skip] no R8 artifacts")
 
     # uniform-sparse synthetic: segment-sum path (BSR dense-tile format is
     # wrong for uniform sparsity — its tiles would be ~0.05% occupied)
-    row, col, val = synthetic_powerlaw_graph(100_000, 50)
-    bench_graph(
-        row, col, val, 100_000, f=args.f,
-        label="synthetic uniform 100k x 5M", methods=("segment",),
-    )
+    if want("uniform 100k"):
+        row, col, val = synthetic_powerlaw_graph(100_000, 50)
+        bench_graph(
+            row, col, val, 100_000, f=args.f,
+            label="synthetic uniform 100k x 5M", methods=("segment", "onehot"),
+        )
 
     # clustered synthetic shaped like a doc-topic graph (docs x 512 hub
     # columns): the BSR regime
-    rng = np.random.RandomState(3)
-    n, e = 200_000, 4_000_000
-    row = rng.randint(0, n, e)
-    col = rng.randint(0, 512, e)  # edges concentrate in 4 block-columns
-    val = rng.rand(e).astype(np.float32)
-    bench_graph(
-        row, col, val, n, f=args.f,
-        label="synthetic clustered 200k x 4M", methods=("segment", "bsr"),
-    )
+    if want("clustered"):
+        rng = np.random.RandomState(3)
+        n, e = 200_000, 4_000_000
+        row = rng.randint(0, n, e)
+        col = rng.randint(0, 512, e)  # edges concentrate in 4 block-columns
+        val = rng.rand(e).astype(np.float32)
+        bench_graph(
+            row, col, val, n, f=args.f,
+            label="synthetic clustered 200k x 4M", methods=("segment", "bsr"),
+        )
 
-    if args.large:
+    if args.large and want("uniform 1M"):
         row, col, val = synthetic_powerlaw_graph(1_000_000, 32)
         bench_graph(
             row, col, val, 1_000_000, f=args.f,
-            label="synthetic uniform 1M x 32M", methods=("segment",),
+            label="synthetic uniform 1M x 32M", methods=("segment", "onehot"),
         )
     return 0
 

@@ -33,6 +33,13 @@ def main() -> int:
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--classes", type=int, default=32)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument(
+        "--kernel",
+        choices=("segment", "onehot"),
+        default="segment",
+        help="SpMM path: XLA gather+segment_sum, or the Pallas one-hot "
+        "MXU reducer (uniform-sparsity hot kernel)",
+    )
     args = p.parse_args()
 
     import jax
@@ -51,7 +58,21 @@ def main() -> int:
     val = (rng.rand(e) * 0.5 + 0.5).astype(np.float32)
     # row-normalized-ish weights; skip full sym-normalize (host cost) — the
     # kernel timing is identical
-    g = SparseGraph.from_coo(row, col, val, n, pad_to_multiple=1 << 20)
+    if args.kernel == "onehot":
+        from textgcn_tpu.ops.pallas_onehot import OneHotGraph
+
+        t0 = time.perf_counter()
+        g = OneHotGraph.from_coo(
+            row, col, val, n, f_hint=max(args.f, args.hidden)
+        )
+        print(
+            f"[plan] onehot fwd+bwd built in {time.perf_counter() - t0:.1f}s"
+            f" ({g.fwd.n_sc} superchunks)",
+            file=sys.stderr,
+            flush=True,
+        )
+    else:
+        g = SparseGraph.from_coo(row, col, val, n, pad_to_multiple=1 << 20)
     x = rng.randn(n, args.f).astype(np.float32)
     y = rng.randint(0, args.classes, n).astype(np.int32)
     train_idx = np.arange(0, n, 7).astype(np.int32)  # ~14% labeled
@@ -67,13 +88,13 @@ def main() -> int:
     # compile payload)
     fwd = jax.jit(lambda p, gg, xx: gcn_forward(p, gg, xx, train=False))
     out = fwd(params, g, xj)
-    jax.block_until_ready(out)
+    # scalar readback per timing window: through the axon tunnel,
+    # block_until_ready does not block on device execution
+    float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        # block each call: a queued-but-unexecuted dispatch makes the loop
-        # look impossibly fast otherwise
         out = fwd(params, g, xj)
-        jax.block_until_ready(out)
+    float(jnp.sum(out))
     dt_f = (time.perf_counter() - t0) / args.steps
     print(
         json.dumps(
@@ -105,12 +126,12 @@ def main() -> int:
 
     key = jax.random.PRNGKey(1)
     params, opt_state, loss = step(params, opt_state, g, xj, yj, ti, key)
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, g, xj, yj, ti, k)
-    jax.block_until_ready(loss)
+    float(loss)
     dt_s = (time.perf_counter() - t0) / args.steps
     # fwd 2 SpMM + bwd ~2 SpMM (transpose) per layer pair ≈ 4-6 SpMM-equiv
     print(

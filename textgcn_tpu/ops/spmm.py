@@ -150,6 +150,10 @@ def spmm(
         from textgcn_tpu.ops.pallas_spmm import spmm_bsr
 
         return spmm_bsr(graph, x)
+    from textgcn_tpu.ops.pallas_onehot import OneHotGraph, spmm_onehot
+
+    if isinstance(graph, OneHotGraph):
+        return spmm_onehot(graph.fwd, graph.bwd, x)
     if method == "auto":
         method = "segment"
     if method == "segment":
