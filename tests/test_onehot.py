@@ -17,8 +17,8 @@ from textgcn_tpu.ops.pallas_onehot import (
     spmm_onehot,
 )
 
-# bf16 edge-product stream: ~3 decimal digits per product, f32 accumulation
-RTOL, ATOL = 3e-2, 3e-2
+# bf16 X gather + bf16 edge products (f32 accumulation): ~2-3 decimal digits
+RTOL, ATOL = 5e-2, 1e-1
 
 
 def _random_graph(n, nnz, seed=0):
@@ -78,7 +78,7 @@ def test_onehot_grad_via_transpose_plan():
     a = m.toarray()
     want = 2.0 * a.T @ (a @ np.asarray(x))
     # two chained bf16 product streams (fwd then bwd) compound the rounding
-    np.testing.assert_allclose(grad, want, rtol=5e-2, atol=0.2)
+    np.testing.assert_allclose(grad, want, rtol=5e-2, atol=0.4)
 
 
 def test_symmetric_plan_is_shared():

@@ -228,18 +228,23 @@ def _spmm_onehot_impl(plan: OneHotPlan, x, interpret: bool = False):
     n, f = plan.n_nodes, x.shape[-1]
     f_pad = _round_up(f, 128)
     xp = x if f == f_pad else jnp.pad(x, ((0, 0), (0, f_pad - f)))
+    # gather from a bf16 copy: the random-row gather is byte-bound, so one
+    # cheap streaming downcast of X halves the dominant traffic; the edge
+    # product is bf16 anyway (f32 accumulation happens in the MXU reduce)
+    xp = xp.astype(jnp.bfloat16)
+    val16 = plan.val.astype(jnp.bfloat16)
 
     def one(col_s, val_s, lrow_s, wloc_s):
-        p = (xp[col_s] * val_s[:, None]).astype(jnp.bfloat16)
+        p = xp[col_s] * val_s[:, None]
         return _reduce_superchunk(plan, p, lrow_s, wloc_s, interpret)
 
     if plan.n_sc == 1:
-        y = one(plan.col[0], plan.val[0], plan.lrow[0], plan.wloc[0])
+        y = one(plan.col[0], val16[0], plan.lrow[0], plan.wloc[0])
     else:
         _, ys = jax.lax.scan(
             lambda c, args: (c, one(*args)),
             None,
-            (plan.col, plan.val, plan.lrow, plan.wloc),
+            (plan.col, val16, plan.lrow, plan.wloc),
         )
         y = ys.reshape(plan.n_sc * plan.w_sc * plan.w, f_pad)
     return y[:n, :f]
