@@ -69,7 +69,10 @@ def load_config(path: str) -> Dict[str, Any]:
 def run_experiment_config(config_path: str) -> int:
     cfg = load_config(config_path)
     dataset = cfg["dataset"]
-    exp_dir = os.path.join("experiments", dataset)
+    fam = cfg.get("graph", "topic")
+    exp_dir = os.path.join(
+        "experiments", dataset if fam == "topic" else f"{dataset}_{fam}"
+    )
     log_dir = os.path.join(exp_dir, "logs")
     res_dir = os.path.join(exp_dir, "results")
     os.makedirs(res_dir, exist_ok=True)
@@ -77,24 +80,36 @@ def run_experiment_config(config_path: str) -> int:
 
     build_cfg = cfg.get("build", {})
     data_root = cfg.get("data_root", "data")
+    family = cfg.get("graph", "topic")  # "topic" (TopicGCN) | "docword"
 
     with _stage_log(log_dir, "build"):
-        from textgcn_tpu.graph.build_topic import TopicGraphBuilder
+        if family == "docword":
+            from textgcn_tpu.graph.build_textgcn import DocWordGraphBuilder
 
-        builder = TopicGraphBuilder(
-            dataset,
-            num_topics=build_cfg.get("num_topics", 50),
-            doc_topic_threshold=build_cfg.get("doc_topic_threshold", 0.02),
-            topic_topic_threshold=build_cfg.get("topic_topic_threshold", 0.3),
-            min_df=build_cfg.get("min_df", 2),
-            max_df=build_cfg.get("max_df", 0.95),
-            use_word2vec=build_cfg.get("use_word2vec", True),
-            lda_backend=build_cfg.get("lda_backend", "jax"),
-            lda_max_iter=build_cfg.get("lda_max_iter", 60),
-            data_root=data_root,
-        )
-        builder.build()
-        builder.save()
+            builder = DocWordGraphBuilder(
+                dataset,
+                window_size=build_cfg.get("window", 20),
+                data_root=data_root,
+            )
+            builder.build()
+            builder.save()
+        else:
+            from textgcn_tpu.graph.build_topic import TopicGraphBuilder
+
+            builder = TopicGraphBuilder(
+                dataset,
+                num_topics=build_cfg.get("num_topics", 50),
+                doc_topic_threshold=build_cfg.get("doc_topic_threshold", 0.02),
+                topic_topic_threshold=build_cfg.get("topic_topic_threshold", 0.3),
+                min_df=build_cfg.get("min_df", 2),
+                max_df=build_cfg.get("max_df", 0.95),
+                use_word2vec=build_cfg.get("use_word2vec", True),
+                lda_backend=build_cfg.get("lda_backend", "jax"),
+                lda_max_iter=build_cfg.get("lda_max_iter", 60),
+                data_root=data_root,
+            )
+            builder.build()
+            builder.save()
 
     train_cfg = cfg.get("train", {})
     with _stage_log(log_dir, "train"):
@@ -109,18 +124,26 @@ def run_experiment_config(config_path: str) -> int:
             early_stopping=train_cfg.get("early_stopping", 10),
             val_ratio=train_cfg.get("val_ratio", 0.1),
         )
+        pre = None
+        if family == "docword":
+            from textgcn_tpu.train.prepare import prepare_docword_data
+
+            pre = prepare_docword_data(dataset, data_root=data_root)
         summary = run_experiment(
             dataset,
             times=train_cfg.get("times", 1),
+            graph_family=family,
             data_root=data_root,
             output_dir=res_dir,
             config=tc,
+            pre_data=pre,
         )
         acc = summary["test_accuracy"]
         print(f"test accuracy: mean={acc['mean']:.4f} max={acc['max']:.4f}")
 
     ins_cfg = cfg.get("inspect", {})
-    if ins_cfg.get("enabled", True):
+    # topic inspection only applies to the topic family
+    if ins_cfg.get("enabled", True) and family == "topic":
         with _stage_log(log_dir, "inspect"):
             from textgcn_tpu.inspect.topics import inspect_topics
 
