@@ -4,10 +4,14 @@ Replaces the reference's per-script argparse CLIs (build_graph.py:235-265,
 trainer.py:596-608, inspect_topics.py:361-397, run_experiment.py:130-164)
 with one ``python -m textgcn_tpu.cli <command>`` multiplexer:
 
+  clean        — clean a raw corpus into clean_corpus/{ds}.txt
   build-graph  — fit topic model, build + save the doc-topic-topic graph
   train        — train the GCN on a built graph, write reports
   inspect      — topic inspection report (top words/docs, similarity stats)
   experiment   — YAML-driven build → train → inspect, single process
+
+The reference's data_processor.py:216-222 hardcodes its dataset despite the
+README claiming a ``--dataset`` flag; ``clean`` here provides the real flag.
 """
 from __future__ import annotations
 
@@ -113,6 +117,13 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    from textgcn_tpu.text.clean import CorpusProcess
+
+    CorpusProcess(args.dataset, data_root=args.data_root)
+    return 0
+
+
 def cmd_experiment(args) -> int:
     from textgcn_tpu.runner import run_experiment_config
 
@@ -122,6 +133,11 @@ def cmd_experiment(args) -> int:
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="textgcn_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("clean", help="clean a raw corpus")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--data_root", default="data")
+    p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("build-graph", help="build topic graph artifacts")
     _add_build_args(p)
