@@ -136,6 +136,25 @@ def bench_graph(
             "gather_floor_ms": gt * 1e3 * pln.n_sc,
             "roofline_frac": bytes_moved / dt / HBM_BW_BYTES,
         }
+    if "hybrid" in methods:
+        from textgcn_tpu.graph.reorder import reorder_and_build, spmm_hybrid
+
+        t0 = time.perf_counter()
+        perm, hg = reorder_and_build(
+            row, col, val, n, symmetric=False, onehot_kwargs=dict(f_hint=f)
+        )
+        plan_s = time.perf_counter() - t0
+        # SpMM operates in permuted space; permuting X once is part of setup
+        xp = jnp.asarray(np.asarray(x)[np.argsort(perm)])
+        dt = _time_fn(lambda a: spmm_hybrid(hg, a), xp)
+        out["hybrid"] = {
+            "ms": dt * 1e3,
+            "edges_per_s": e / dt,
+            "gflops": 2 * e * f / dt / 1e9,
+            "dense_fraction": hg.dense_fraction,
+            "nnzb": hg.bsr.blocks.shape[0],
+            "plan_s": plan_s,
+        }
     if "dense" in methods:
         import jax
 
@@ -192,7 +211,8 @@ def main() -> int:
         row, col, val = synthetic_powerlaw_graph(100_000, 50)
         bench_graph(
             row, col, val, 100_000, f=args.f,
-            label="synthetic uniform 100k x 5M", methods=("segment", "onehot"),
+            label="synthetic uniform 100k x 5M",
+            methods=("segment", "onehot", "hybrid"),
         )
 
     # clustered synthetic shaped like a doc-topic graph (docs x 512 hub
@@ -212,7 +232,8 @@ def main() -> int:
         row, col, val = synthetic_powerlaw_graph(1_000_000, 32)
         bench_graph(
             row, col, val, 1_000_000, f=args.f,
-            label="synthetic uniform 1M x 32M", methods=("segment", "onehot"),
+            label="synthetic uniform 1M x 32M",
+            methods=("segment", "onehot", "hybrid"),
         )
     return 0
 

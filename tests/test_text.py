@@ -11,10 +11,10 @@ def test_clean_str_reference_rules():
     # exactly as in the reference (data_processor.py:61-99): uppercase
     # "DON'T" is NOT split, lowercase "don't" is.
     assert sp.clean_str("It's DON'T-stop (now)!") == (
-        "it 's don't stop ( now ) !"
+        "it 's don't stop \\( now \\) !"
     )
     assert sp.clean_str("don't you've we're") == "do n't you 've we 're"
-    assert sp.clean_str("Hello,world?") == "hello , world ?"
+    assert sp.clean_str("Hello,world?") == "hello , world \\?"
     assert sp.clean_str("a  b\t c") == "a b c"
     # non-alphanumerics outside the keep-set become spaces
     assert sp.clean_str("foo@bar.com") == "foo bar com"
@@ -64,3 +64,33 @@ def test_load_labels_real_r8():
     assert labels.n_classes == 8
     assert len(labels.train_idx) == 5485
     assert len(labels.test_idx) == 2189
+
+
+def test_clean_str_backslash_punct_quirk():
+    """Reference data_processor.py:92-94 writes literal \\( \\) \\? tokens
+    (unknown non-letter escapes pass through re.sub replacements); the shipped
+    clean corpora contain them, so the cleaner must reproduce them."""
+    from textgcn_tpu.text.clean import StringProcess
+
+    sp = StringProcess()
+    assert sp.clean_str("who cares? (really)") == r"who cares \? \( really \)"
+
+
+def test_clean_corpus_matches_shipped_mr_artifact():
+    """Full-corpus byte parity with the reference's shipped clean corpus."""
+    import os
+
+    raw = "data/text_dataset/corpus/mr.txt"
+    shipped = "data/text_dataset/clean_corpus/mr.txt"
+    if not (os.path.exists(raw) and os.path.exists(shipped)):
+        import pytest
+
+        pytest.skip("mr corpus not present")
+    from textgcn_tpu.text.clean import clean_corpus_lines
+
+    with open(raw, "rb") as f:
+        cleaned = clean_corpus_lines(f, dataset="mr")
+    with open(shipped, "r", encoding="utf-8") as f:
+        expect = [ln.rstrip("\n").rstrip(" ") for ln in f]
+    assert len(cleaned) == len(expect)
+    assert cleaned == expect

@@ -1,0 +1,242 @@
+"""Graph reordering + hybrid tile/stream SpMM layout.
+
+The one-hot kernel (:mod:`textgcn_tpu.ops.pallas_onehot`) is gather-bound:
+its ceiling is the TPU's random-row gather rate (~60-130M rows/s), not HBM
+stream bandwidth. The only way past that wall is *structural*: relabel nodes
+so that edges concentrate into dense 128x128 tiles the MXU BSR kernel
+(:mod:`textgcn_tpu.ops.pallas_spmm`) can chew at >600M edges/s, and stream
+only the residual uniform edges through the gather path.
+
+For power-law graphs (real corpora: word-word PMI graphs, doc-word graphs
+sorted by document frequency) a plain **degree sort** already concentrates a
+large fraction of edges into the hub-hub / hub-tail bands:
+
+  perm = argsort(degree, descending);  A' = P A P^T
+
+``HybridGraph`` then splits A' by per-tile occupancy: tiles with >= tau
+nonzeros become BSR blocks (MXU path), the rest stay an edge stream for the
+one-hot kernel. Both parts are symmetric whenever A is (occupancy of tile
+(i,j) equals tile (j,i) for a symmetric pattern, and tau-thresholding
+preserves that), so the VJP of ``spmm_hybrid`` on a normalized adjacency is
+the same operator.
+
+No reference counterpart — the reference's only sparse op is single-device
+``torch.spmm`` (reference layer.py:102,106); this module is part of the
+TPU-native scaling layer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from textgcn_tpu.graph.structs import BlockSparseGraph
+
+
+def degree_sort_permutation(
+    row: np.ndarray, col: np.ndarray, n_nodes: int
+) -> np.ndarray:
+    """``perm[old_id] = new_id`` with highest-degree nodes first.
+
+    Degree counts both endpoints, so it is the total degree for symmetric
+    COO inputs and in+out degree otherwise. Ties break by old id, keeping
+    the permutation deterministic.
+    """
+    deg = np.bincount(np.asarray(row), minlength=n_nodes) + np.bincount(
+        np.asarray(col), minlength=n_nodes
+    )
+    order = np.argsort(-deg, kind="stable")  # old ids, hubs first
+    perm = np.empty(n_nodes, dtype=np.int64)
+    perm[order] = np.arange(n_nodes, dtype=np.int64)
+    return perm
+
+
+def permute_coo(row, col, val, perm):
+    """Relabel a COO pattern: returns (perm[row], perm[col], val)."""
+    perm = np.asarray(perm)
+    return perm[np.asarray(row)], perm[np.asarray(col)], np.asarray(val)
+
+
+def tile_fill_threshold_split(
+    row: np.ndarray,
+    col: np.ndarray,
+    n_nodes: int,
+    bm: int = 128,
+    bn: int = 128,
+    min_nnz: int = 64,
+    max_block_bytes: int = 2 << 30,
+    block_itemsize: int = 4,
+):
+    """Boolean edge mask selecting the BSR (dense-tile) part.
+
+    A tile goes to the BSR part when it holds >= tau nonzeros, where
+    tau >= ``min_nnz`` is raised (if needed) until the selected tiles'
+    dense storage fits ``max_block_bytes``. Thresholding on occupancy alone
+    keeps the split symmetric for symmetric patterns.
+
+    ``min_nnz=64`` ≈ the measured break-even: the one-hot kernel spends
+    ~15-20 ns/edge (gather-bound), a BSR tile costs ~1 us of DMA+grid
+    overhead — a tile pays for itself at a few dozen edges.
+    """
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    n_bcols = -(-max(n_nodes, 1) // bn)
+    key = (row // bm) * n_bcols + (col // bn)
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+
+    tile_bytes = bm * bn * block_itemsize
+    budget_tiles = max(1, max_block_bytes // tile_bytes)
+    tau = min_nnz
+    n_sel = int((counts >= tau).sum())
+    if n_sel > budget_tiles:
+        # raise tau to the budget_tiles-th largest occupancy
+        tau = int(np.sort(counts)[::-1][budget_tiles - 1]) + 1
+        n_sel = int((counts >= tau).sum())
+    return (counts >= tau)[inv]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bsr", "rest"],
+    meta_fields=["n_nodes", "n_edges", "symmetric"],
+)
+@dataclasses.dataclass(frozen=True)
+class HybridGraph:
+    """Dense-tile BSR part + residual one-hot edge stream.
+
+    ``rest`` is an :class:`~textgcn_tpu.ops.pallas_onehot.OneHotGraph`
+    (or ``None`` when every edge landed in a dense tile).
+    """
+
+    bsr: BlockSparseGraph
+    rest: object  # OneHotGraph | None
+    n_nodes: int
+    n_edges: int
+    symmetric: bool
+
+    @staticmethod
+    def from_coo(
+        row: np.ndarray,
+        col: np.ndarray,
+        val: np.ndarray,
+        n_nodes: int,
+        symmetric: bool = False,
+        bm: int = 128,
+        bn: int = 128,
+        min_nnz: int = 64,
+        max_block_bytes: int = 2 << 30,
+        onehot_kwargs: dict | None = None,
+    ) -> "HybridGraph":
+        from textgcn_tpu.ops.pallas_onehot import OneHotGraph
+
+        row = np.asarray(row, dtype=np.int64)
+        col = np.asarray(col, dtype=np.int64)
+        val = np.asarray(val, dtype=np.float64)
+        dense_mask = tile_fill_threshold_split(
+            row,
+            col,
+            n_nodes,
+            bm=bm,
+            bn=bn,
+            min_nnz=min_nnz,
+            max_block_bytes=max_block_bytes,
+        )
+        bsr = BlockSparseGraph.from_coo(
+            row[dense_mask],
+            col[dense_mask],
+            val[dense_mask],
+            n_nodes,
+            bm=bm,
+            bn=bn,
+            max_block_bytes=max_block_bytes + (64 << 20),
+        )
+        n_rest = int((~dense_mask).sum())
+        rest = None
+        if n_rest:
+            rest = OneHotGraph.from_coo(
+                row[~dense_mask],
+                col[~dense_mask],
+                val[~dense_mask],
+                n_nodes,
+                symmetric=False,  # the residual of a symmetric split IS
+                # symmetric in pattern, but OneHotGraph.symmetric aliases the
+                # bwd plan to fwd which also needs symmetric *values*; Â is
+                # value-symmetric, so allow aliasing when caller says so.
+                **(onehot_kwargs or {}),
+            )
+            if symmetric:
+                rest = dataclasses.replace(
+                    rest, bwd=rest.fwd, symmetric=True
+                )
+        return HybridGraph(
+            bsr=bsr,
+            rest=rest,
+            n_nodes=int(n_nodes),
+            n_edges=int(len(row)),
+            symmetric=bool(symmetric),
+        )
+
+    @property
+    def dense_fraction(self) -> float:
+        return self.bsr.n_edges / max(self.n_edges, 1)
+
+
+def reorder_and_build(
+    row, col, val, n_nodes, symmetric: bool = False, **kwargs
+):
+    """Degree-sort, then build the hybrid layout on the permuted pattern.
+
+    Returns ``(perm, hybrid)`` with ``perm[old] = new``. The caller must
+    apply the same permutation to features/labels: SpMM computes
+    ``P Â Pᵀ (P x)`` = ``P (Â x)``.
+    """
+    perm = degree_sort_permutation(row, col, n_nodes)
+    r2, c2, v2 = permute_coo(row, col, val, perm)
+    return perm, HybridGraph.from_coo(
+        r2, c2, v2, n_nodes, symmetric=symmetric, **kwargs
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret", "bf16"))
+def _spmm_hybrid_fwd_impl(
+    h: HybridGraph, x: jnp.ndarray, interpret: bool = False, bf16: bool = True
+):
+    from textgcn_tpu.ops.pallas_onehot import spmm_onehot
+    from textgcn_tpu.ops.pallas_spmm import spmm_bsr
+
+    out = spmm_bsr(h.bsr, x, interpret=interpret, bf16=bf16)
+    if h.rest is not None:
+        out = out + spmm_onehot(
+            h.rest.fwd, h.rest.bwd, x, interpret=interpret
+        )
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def spmm_hybrid(
+    h: HybridGraph, x: jnp.ndarray, interpret: bool = False, bf16: bool = True
+):
+    """``Â @ x`` over the hybrid layout (differentiable w.r.t. ``x``).
+
+    The VJP requires ``h.symmetric`` (Âᵀ = Â) — always true for the
+    sym-normalized adjacencies this framework trains on.
+    """
+    return _spmm_hybrid_fwd_impl(h, x, interpret=interpret, bf16=bf16)
+
+
+def _hybrid_fwd(h, x, interpret, bf16):
+    return _spmm_hybrid_fwd_impl(h, x, interpret=interpret, bf16=bf16), h
+
+
+def _hybrid_bwd(interpret, bf16, h, g):
+    if not h.symmetric:
+        raise NotImplementedError(
+            "spmm_hybrid backward needs a symmetric adjacency"
+        )
+    return (None, _spmm_hybrid_fwd_impl(h, g, interpret=interpret, bf16=bf16))
+
+
+spmm_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)

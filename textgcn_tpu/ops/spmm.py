@@ -154,6 +154,10 @@ def spmm(
 
     if isinstance(graph, OneHotGraph):
         return spmm_onehot(graph.fwd, graph.bwd, x)
+    from textgcn_tpu.graph.reorder import HybridGraph, spmm_hybrid
+
+    if isinstance(graph, HybridGraph):
+        return spmm_hybrid(graph, x)
     if method == "auto":
         method = "segment"
     if method == "segment":

@@ -64,9 +64,15 @@ class StringProcess:
             (r"\'ll", " 'll"),
             (r",", " , "),
             (r"!", " ! "),
-            (r"\(", " ( "),
-            (r"\)", " ) "),
-            (r"\?", " ? "),
+            # The reference's replacement strings are " \( " etc.
+            # (data_processor.py:92-94); Python's re.sub leaves unknown
+            # non-letter escapes alone, so its cleaned corpora contain the
+            # literal tokens "\(", "\)", "\?" — and the shipped
+            # clean_corpus files (on which the 94.11% headline was trained)
+            # do too. Reproduce byte-for-byte.
+            (r"\(", r" \( "),
+            (r"\)", r" \) "),
+            (r"\?", r" \? "),
         ):
             s = re.sub(pat, rep, s)
         s = re.sub(r"\s{2,}", " ", s)
