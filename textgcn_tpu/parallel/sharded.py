@@ -34,6 +34,14 @@ AXIS = "nodes"
 def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n}) needs {n} devices but only {len(devs)} are "
+            f"visible ({devs}); set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+            f"JAX_PLATFORMS=cpu (or jax.config.update('jax_platforms','cpu') "
+            f"if a sitecustomize pins the platform) for a virtual mesh."
+        )
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
