@@ -85,6 +85,21 @@ def cmd_train(args) -> int:
         from textgcn_tpu.train.prepare import prepare_docword_data
 
         pre_data = prepare_docword_data(args.dataset, data_root=args.data_root)
+    if args.load_model:
+        from textgcn_tpu.train.run import evaluate_checkpoint
+
+        out = evaluate_checkpoint(
+            args.dataset,
+            args.load_model,
+            graph_family=args.graph,
+            data_root=args.data_root,
+            pre_data=pre_data,
+        )
+        print(
+            f"{args.dataset} (checkpoint {args.load_model}): "
+            f"acc={out['acc']:.4f} macro_f1={out['macro_f1']:.4f}"
+        )
+        return 0
     summary = run_experiment(
         args.dataset,
         times=args.times,
@@ -94,6 +109,7 @@ def cmd_train(args) -> int:
         config=cfg,
         pre_data=pre_data,
         verbose=not args.quiet,
+        save_model=args.save_model,
     )
     acc = summary["test_accuracy"]
     print(
@@ -166,6 +182,17 @@ def main(argv=None) -> int:
     p.add_argument("--max_epoch", type=int, default=200)
     p.add_argument("--early_stopping", type=int, default=10)
     p.add_argument("--val_ratio", type=float, default=0.1)
+    p.add_argument(
+        "--save_model",
+        default=None,
+        help="directory to save the best run's Orbax checkpoint",
+    )
+    p.add_argument(
+        "--load_model",
+        default=None,
+        help="restore an Orbax checkpoint and evaluate on the test split "
+        "(skips training)",
+    )
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_train)
 

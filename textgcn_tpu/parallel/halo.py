@@ -124,7 +124,7 @@ def spmm_halo(
         acc = jnp.zeros((rps + 1, f), dtype=jnp.float32)
         # mark the accumulator device-varying so the scan carry type matches
         # (shard_map varying-manual-axes typing)
-        acc = jax.lax.pvary(acc, (AXIS,))
+        acc = jax.lax.pcast(acc, (AXIS,), to="varying")
         acc, _ = jax.lax.fori_loop(0, n_shards, step, (acc, x_local))
         return acc[:rps]
 

@@ -84,9 +84,9 @@ def run_experiment_config(config_path: str) -> int:
 
     with _stage_log(log_dir, "build"):
         if family == "docword":
-            from textgcn_tpu.graph.build_textgcn import DocWordGraphBuilder
+            from textgcn_tpu.graph.build_textgcn import TextGCNGraphBuilder
 
-            builder = DocWordGraphBuilder(
+            builder = TextGCNGraphBuilder(
                 dataset,
                 window_size=build_cfg.get("window", 20),
                 data_root=data_root,

@@ -45,12 +45,20 @@ def run_experiment(
     seeds: Optional[List[int]] = None,
     pre_data: Optional[PreparedData] = None,
     verbose: bool = True,
+    save_model: Optional[str] = None,
 ) -> Dict[str, Any]:
-    """Train `times` seeds on `dataset`; write reports; return summary."""
+    """Train `times` seeds on `dataset`; write reports; return summary.
+
+    ``save_model``: optional checkpoint directory — the best-accuracy run's
+    parameters are saved there via Orbax (the reference's checkpoint path is
+    dead code, reference utils.py:244,254 — here it is a working CLI flag).
+    """
     if pre_data is None:
         pre_data = prepare_topic_data(dataset, data_root=data_root)
     seeds = seeds or generate_seeds(times)
 
+    best_acc = -1.0
+    best_trainer = None
     runs: List[Dict[str, Any]] = []
     for i, seed in enumerate(seeds):
         cfg = dataclasses.replace(config, seed=seed)
@@ -67,6 +75,9 @@ def run_experiment(
         test_desc = trainer.test()
         if verbose:
             print(f"[run {i + 1}/{len(seeds)} seed={seed}] {test_desc}")
+        if test_desc["acc"] > best_acc:
+            best_acc = test_desc["acc"]
+            best_trainer = trainer
         runs.append(
             {
                 "seed": seed,
@@ -93,8 +104,43 @@ def run_experiment(
         "runs": runs,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
+    if save_model:
+        path = best_trainer.save(save_model)
+        summary["checkpoint"] = path
+        if verbose:
+            print(f"saved best-run checkpoint (acc={best_acc:.4f}) to {path}")
     write_reports(summary, output_dir)
     return summary
+
+
+def evaluate_checkpoint(
+    dataset: str,
+    checkpoint_path: str,
+    graph_family: str = "topic",
+    data_root: str = "data",
+    pre_data: Optional[PreparedData] = None,
+) -> Dict[str, float]:
+    """Restore params from an Orbax checkpoint and evaluate on the test split
+    (the ``--load_model`` CLI path)."""
+    from textgcn_tpu.train.trainer import Trainer
+
+    if pre_data is None:
+        if graph_family == "docword":
+            from textgcn_tpu.train.prepare import prepare_docword_data
+
+            pre_data = prepare_docword_data(dataset, data_root=data_root)
+        else:
+            pre_data = prepare_topic_data(dataset, data_root=data_root)
+    trainer = Trainer(
+        pre_data.graph,
+        pre_data.features,
+        pre_data.labels.target,
+        pre_data.labels.train_idx,
+        pre_data.labels.test_idx,
+        pre_data.labels.n_classes,
+    )
+    trainer.load(checkpoint_path)
+    return trainer.evaluate(trainer.test_idx, prefix="test")
 
 
 def write_reports(summary: Dict[str, Any], output_dir: str) -> None:

@@ -85,25 +85,12 @@ def train_val_split(
     return np.asarray(train_idx)[perm[n_val:]], np.asarray(train_idx)[perm[:n_val]]
 
 
-@partial(jax.jit, static_argnames=("dropout",), donate_argnums=(0, 1))
-def _train_step(params, opt_state, rng, graph, x, y, train_idx, dropout):
-    def loss_fn(p):
-        logits = gcn_forward(p, graph, x, dropout=dropout, train=True, rng=rng)
-        tl = logits[train_idx]
-        ce = optax.softmax_cross_entropy_with_integer_labels(tl, y[train_idx])
-        return jnp.mean(ce)
-
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = _adam().update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    return params, opt_state, loss
-
-
 def _adam(lr: float = 0.02):
     # Adam with the reference's defaults (torch.optim.Adam: b1=0.9, b2=0.999,
     # eps=1e-8; reference trainer.py:307). lr is injected via inject_hyperparams
-    # so one compiled step serves any lr.
-    return optax.inject_hyperparams(optax.adam)(learning_rate=0.02)
+    # so one compiled step serves any lr; callers may still override the
+    # runtime value through ``opt_state.hyperparams["learning_rate"]``.
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
 
 
 @partial(jax.jit, static_argnames=("num_classes",))
