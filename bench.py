@@ -38,6 +38,101 @@ def ensure_graph(dataset: str = "R8", num_topics: int = 50) -> None:
     b.save()
 
 
+def time_train_epochs(pre, fmt: str, n_epochs: int = 8) -> dict:
+    """Measure the compiled per-epoch train time through one SpMM format.
+
+    One epoch of the jitted ``_train_block`` = forward (2 SpMM) + backward
+    (2 SpMM) + val eval forward (2 SpMM) → 6 Â-aggregations per epoch. A
+    scalar readback after the timed block forces device completion (through
+    the axon tunnel ``block_until_ready`` alone does not).
+    """
+    import jax
+    import numpy as np
+
+    from textgcn_tpu.train import trainer as T
+    from textgcn_tpu.train.prepare import apply_spmm_format
+
+    p = apply_spmm_format(pre, fmt)
+    cfg = T.TrainConfig(epoch_block=1)
+    tr, va = T.train_val_split(p.labels.train_idx, cfg.val_ratio, 42)
+    t = T.Trainer(
+        p.graph,
+        p.features,
+        p.labels.target,
+        p.labels.train_idx,
+        p.labels.test_idx,
+        p.labels.n_classes,
+        config=cfg,
+    )
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    n_feat = p.graph.n_nodes if t.x is None else t.x.shape[1]
+    from textgcn_tpu.models.gcn import gcn_init
+
+    params = gcn_init(key, n_feat, cfg.n_hidden, t.num_classes)
+    opt = T._adam()
+    opt_state = opt.init(params)
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(0.02, jnp.float32)
+    args = (
+        t.graph,
+        t.x,
+        t.y,
+        jnp.asarray(tr, jnp.int32),
+        jnp.asarray(va, jnp.int32),
+        t.num_classes,
+        cfg.dropout,
+    )
+    rngs1 = jax.random.split(jax.random.PRNGKey(1), 1)
+    params, opt_state, outs = T._train_block(params, opt_state, rngs1, *args)
+    float(np.asarray(outs[1])[0])  # drain: compile + warmup
+    rngs = jax.random.split(jax.random.PRNGKey(2), n_epochs)
+    t0 = time.perf_counter()
+    params, opt_state, outs = T._train_block(params, opt_state, rngs, *args)
+    float(np.asarray(outs[1])[-1])
+    dt = (time.perf_counter() - t0) / n_epochs
+    n_edges = pre.graph.n_edges
+    return {
+        "format": fmt,
+        "epoch_ms": dt * 1e3,
+        "edges_per_s": 6 * n_edges / dt,
+        "n_edges": n_edges,
+    }
+
+
+def docword_perf(dataset: str = "R8") -> dict:
+    """Driver-captured SpMM perf on the R8 doc-word graph (3.45M edges):
+    segment (XLA gather/segment-sum fallback) vs hybrid (degree-sorted
+    Pallas BSR tiles + one-hot residual stream) — the kernels the repo
+    exists to build, measured in the real training step (VERDICT r1 #3).
+
+    Roofline context: uniform-gather SpMM on this chip is bounded by the
+    random-row gather rate (~60-130M rows/s measured in
+    benchmarks/gather_probe.py), not HBM stream bandwidth; the hybrid
+    kernel's MXU tiles bypass that wall for the clustered 97% of edges.
+    """
+    from textgcn_tpu.train.prepare import prepare_docword_data
+
+    pre = prepare_docword_data(dataset, data_root="data")
+    seg = time_train_epochs(pre, "segment")
+    hyb = time_train_epochs(pre, "hybrid")
+    out = {
+        "graph": f"{dataset}_docword",
+        "n_nodes": pre.n_nodes,
+        "n_edges": pre.graph.n_edges,
+        "segment": seg,
+        "hybrid": hyb,
+        "speedup": seg["epoch_ms"] / hyb["epoch_ms"],
+    }
+    log(
+        f"[bench] {dataset} docword perf: segment {seg['epoch_ms']:.1f} "
+        f"ms/epoch ({seg['edges_per_s'] / 1e6:.0f}M edges/s) | hybrid "
+        f"{hyb['epoch_ms']:.1f} ms/epoch ({hyb['edges_per_s'] / 1e6:.0f}M "
+        f"edges/s) | speedup {out['speedup']:.1f}x"
+    )
+    return out
+
+
 def main() -> int:
     t0 = time.time()
     os.chdir(os.path.dirname(os.path.abspath(__file__)))
@@ -70,6 +165,17 @@ def main() -> int:
         f"max={acc:.2f} train_time_mean={summary['train_time']['mean']:.1f}s "
         f"total_bench_time={time.time() - t0:.0f}s"
     )
+
+    # secondary driver-captured perf numbers (stderr + results JSON only —
+    # the stdout contract stays one JSON line)
+    try:
+        perf = docword_perf("R8")
+        with open(
+            os.path.join("results", "perf_bench.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(perf, f, indent=2)
+    except Exception as e:  # perf reporting must never break the contract
+        log(f"[bench] perf section failed: {e!r}")
     print(
         json.dumps(
             {

@@ -79,6 +79,7 @@ def cmd_train(args) -> int:
         max_epoch=args.max_epoch,
         early_stopping=args.early_stopping,
         val_ratio=args.val_ratio,
+        spmm=args.spmm,
     )
     pre_data = None
     if args.graph == "docword":
@@ -94,23 +95,33 @@ def cmd_train(args) -> int:
             graph_family=args.graph,
             data_root=args.data_root,
             pre_data=pre_data,
+            spmm=args.spmm,
         )
         print(
             f"{args.dataset} (checkpoint {args.load_model}): "
             f"acc={out['acc']:.4f} macro_f1={out['macro_f1']:.4f}"
         )
         return 0
-    summary = run_experiment(
-        args.dataset,
-        times=args.times,
-        graph_family=args.graph,
-        data_root=args.data_root,
-        output_dir=args.output_dir,
-        config=cfg,
-        pre_data=pre_data,
-        verbose=not args.quiet,
-        save_model=args.save_model,
-    )
+    import contextlib
+
+    trace_ctx = contextlib.nullcontext()
+    if args.trace:
+        from textgcn_tpu.utils.profiling import trace
+
+        trace_ctx = trace(args.trace)
+        print(f"writing jax.profiler trace to {args.trace}")
+    with trace_ctx:
+        summary = run_experiment(
+            args.dataset,
+            times=args.times,
+            graph_family=args.graph,
+            data_root=args.data_root,
+            output_dir=args.output_dir,
+            config=cfg,
+            pre_data=pre_data,
+            verbose=not args.quiet,
+            save_model=args.save_model,
+        )
     acc = summary["test_accuracy"]
     print(
         f"{args.dataset}: acc mean={acc['mean']:.4f} "
@@ -183,6 +194,16 @@ def main(argv=None) -> int:
     p.add_argument("--early_stopping", type=int, default=10)
     p.add_argument("--val_ratio", type=float, default=0.1)
     p.add_argument(
+        "--spmm",
+        default="auto",
+        choices=["auto", "segment", "dense", "bsr", "onehot", "hybrid"],
+        help="SpMM kernel/graph format (auto: dense below 10k nodes, else "
+        "degree-sorted hybrid Pallas tiles+stream). For docword graphs "
+        "(identity features) use the same --spmm when loading a checkpoint "
+        "as when it was saved: hybrid relabels nodes, and layer-1 weights "
+        "are node-indexed.",
+    )
+    p.add_argument(
         "--save_model",
         default=None,
         help="directory to save the best run's Orbax checkpoint",
@@ -194,6 +215,13 @@ def main(argv=None) -> int:
         "(skips training)",
     )
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="emit a jax.profiler trace of the training run to DIR "
+        "(view in TensorBoard / Perfetto)",
+    )
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("inspect", help="topic inspection report")

@@ -117,8 +117,37 @@ class SparseGraph:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["a"],
+    meta_fields=["n_nodes"],
+)
+@dataclasses.dataclass(frozen=True)
+class DenseGraph:
+    """Dense [N, N] adjacency — the fastest SpMM layout for small graphs.
+
+    The real text graphs have <20k nodes; a dense ``[N, N] @ [N, F]`` is a
+    single large MXU matmul with no gather/scatter at all. Materialized once
+    host-side (not per forward pass).
+    """
+
+    a: jnp.ndarray  # [n, n] float32
+    n_nodes: int
+
+    @staticmethod
+    def from_sparse_graph(g: "SparseGraph") -> "DenseGraph":
+        e = g.n_edges
+        a = np.zeros((g.n_nodes, g.n_nodes), dtype=np.float32)
+        np.add.at(
+            a,
+            (np.asarray(g.row)[:e], np.asarray(g.col)[:e]),
+            np.asarray(g.val)[:e],
+        )
+        return DenseGraph(a=jnp.asarray(a), n_nodes=int(g.n_nodes))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_rows", "block_cols"],
-    meta_fields=["n_nodes", "n_edges", "bm", "bn", "n_block_rows"],
+    meta_fields=["n_nodes", "n_edges", "bm", "bn", "n_block_rows", "symmetric"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockSparseGraph:
@@ -132,6 +161,8 @@ class BlockSparseGraph:
       n_edges:      static — number of real scalar nonzeros.
       bm, bn:       static — tile shape.
       n_block_rows: static — number of block rows (padded node dim / bm).
+      symmetric:    static — caller asserts Âᵀ = Â (values too); enables the
+                    transpose-free custom VJP in :mod:`textgcn_tpu.ops.spmm`.
     """
 
     blocks: jnp.ndarray
@@ -142,6 +173,7 @@ class BlockSparseGraph:
     bm: int
     bn: int
     n_block_rows: int
+    symmetric: bool = False
 
     @property
     def nnzb(self) -> int:
@@ -157,6 +189,7 @@ class BlockSparseGraph:
         bn: int = 128,
         dtype=jnp.float32,
         max_block_bytes: int = 2 << 30,
+        symmetric: bool = False,
     ) -> "BlockSparseGraph":
         """Tile a COO matrix into dense (bm, bn) blocks, keeping nonzero tiles.
 
@@ -222,11 +255,16 @@ class BlockSparseGraph:
             bm=int(bm),
             bn=int(bn),
             n_block_rows=int(n_block_rows),
+            symmetric=bool(symmetric),
         )
 
     @staticmethod
     def from_sparse_graph(
-        g: SparseGraph, bm: int = 128, bn: int = 128, dtype=jnp.float32
+        g: SparseGraph,
+        bm: int = 128,
+        bn: int = 128,
+        dtype=jnp.float32,
+        symmetric: bool = False,
     ) -> "BlockSparseGraph":
         e = g.n_edges
         return BlockSparseGraph.from_coo(
@@ -237,4 +275,37 @@ class BlockSparseGraph:
             bm=bm,
             bn=bn,
             dtype=dtype,
+            symmetric=symmetric,
+        )
+
+    def transpose(self) -> "BlockSparseGraph":
+        """Host-side Âᵀ in BSR form (for the VJP of non-symmetric graphs).
+
+        Rebuilds via ``from_coo`` on the swapped COO so the kernel's
+        invariants (block-row sort, every block-row present) hold.
+        """
+        import scipy.sparse as sp
+
+        blocks = np.asarray(self.blocks, dtype=np.float64)
+        nnzb, bm, bn = blocks.shape
+        brows = np.asarray(self.block_rows, dtype=np.int64)
+        bcols = np.asarray(self.block_cols, dtype=np.int64)
+        bi, lr, lc = np.nonzero(blocks)
+        row = brows[bi] * bm + lr
+        col = bcols[bi] * bn + lc
+        val = blocks[bi, lr, lc]
+        keep = (row < self.n_nodes) & (col < self.n_nodes)
+        m = sp.coo_matrix(
+            (val[keep], (col[keep], row[keep])),
+            shape=(self.n_nodes, self.n_nodes),
+        ).tocoo()
+        return BlockSparseGraph.from_coo(
+            m.row,
+            m.col,
+            m.data,
+            self.n_nodes,
+            bm=self.bn,
+            bn=self.bm,
+            dtype=self.blocks.dtype,
+            symmetric=self.symmetric,
         )

@@ -21,7 +21,7 @@ from typing import Union
 import jax
 import jax.numpy as jnp
 
-from textgcn_tpu.graph.structs import BlockSparseGraph, SparseGraph
+from textgcn_tpu.graph.structs import BlockSparseGraph, DenseGraph, SparseGraph
 
 
 # Cap on the transient [E, F] gather product. Above this, the edge stream
@@ -136,28 +136,76 @@ def spmm_dense(a_dense: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(a_dense, x, preferred_element_type=jnp.float32)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def spmm_bsr_ad(
+    graph: BlockSparseGraph,
+    graph_t: BlockSparseGraph,
+    x: jnp.ndarray,
+    interpret: bool = False,
+    bf16: bool = False,
+) -> jnp.ndarray:
+    """Differentiable (in ``x``) Pallas BSR SpMM.
+
+    ``graph_t`` is the transpose used by the backward pass (``Âᵀ @ g``);
+    pass ``graph`` itself when the adjacency is symmetric (sym-normalized
+    Â always is), or ``graph.transpose()`` otherwise. The graphs are
+    constants — adjacency weights are not trained in this framework.
+    """
+    from textgcn_tpu.ops.pallas_spmm import spmm_bsr
+
+    return spmm_bsr(graph, x, interpret=interpret, bf16=bf16)
+
+
+def _bsr_ad_fwd(graph, graph_t, x, interpret, bf16):
+    from textgcn_tpu.ops.pallas_spmm import spmm_bsr
+
+    return spmm_bsr(graph, x, interpret=interpret, bf16=bf16), graph_t
+
+
+def _bsr_ad_bwd(interpret, bf16, graph_t, g):
+    from textgcn_tpu.ops.pallas_spmm import spmm_bsr
+
+    return None, None, spmm_bsr(graph_t, g, interpret=interpret, bf16=bf16)
+
+
+spmm_bsr_ad.defvjp(_bsr_ad_fwd, _bsr_ad_bwd)
+
+
 @partial(jax.jit, static_argnames=("method",))
 def spmm(
-    graph: Union[SparseGraph, BlockSparseGraph],
+    graph: Union[SparseGraph, BlockSparseGraph, DenseGraph],
     x: jnp.ndarray,
     method: str = "auto",
 ) -> jnp.ndarray:
     """Â @ x with automatic kernel dispatch.
 
-    method: "auto" | "segment" | "dense" | "bsr".
+    Dispatches on the graph container type (``DenseGraph``,
+    ``BlockSparseGraph``, ``OneHotGraph``, ``HybridGraph``, ``SparseGraph``);
+    for ``SparseGraph`` the ``method`` arg selects "segment" (default) or
+    "dense" (materialize per call — tests only; prefer ``DenseGraph``).
+    All branches are differentiable in ``x``.
     """
+    # Pallas kernels compile for TPU; on any other backend (the CPU test
+    # suite) they run in interpreter mode — same numerics, pure XLA ops.
+    interpret = jax.default_backend() != "tpu"
+    if isinstance(graph, DenseGraph):
+        return spmm_dense(graph.a, x)
     if isinstance(graph, BlockSparseGraph):
-        from textgcn_tpu.ops.pallas_spmm import spmm_bsr
-
-        return spmm_bsr(graph, x)
+        if not graph.symmetric:
+            raise ValueError(
+                "training through a bare BlockSparseGraph needs its VJP: "
+                "build it with symmetric=True (sym-normalized Â is "
+                "symmetric), or call spmm_bsr_ad(graph, graph.transpose(), x)"
+            )
+        return spmm_bsr_ad(graph, graph, x, interpret)
     from textgcn_tpu.ops.pallas_onehot import OneHotGraph, spmm_onehot
 
     if isinstance(graph, OneHotGraph):
-        return spmm_onehot(graph.fwd, graph.bwd, x)
+        return spmm_onehot(graph.fwd, graph.bwd, x, interpret)
     from textgcn_tpu.graph.reorder import HybridGraph, spmm_hybrid
 
     if isinstance(graph, HybridGraph):
-        return spmm_hybrid(graph, x)
+        return spmm_hybrid(graph, x, interpret)
     if method == "auto":
         method = "segment"
     if method == "segment":

@@ -1,0 +1,285 @@
+"""End-to-end multi-chip training: the full semantics of the single-device
+:class:`textgcn_tpu.train.trainer.Trainer` (reference trainer.py:298-406 —
+train/val split, per-epoch val metrics, early stopping on val loss, test
+metrics, multi-seed loop) executed over a 1-D ``jax.sharding.Mesh``.
+
+Everything row-sharded stays row-sharded for the whole run:
+
+- the forward/backward run under ``shard_map`` (halo ``ppermute`` ring or
+  all-gather aggregation — :mod:`textgcn_tpu.parallel.sharded`);
+- the loss is the global masked mean via ``psum`` (inside shard_map AD);
+- eval metrics are computed from a **global confusion matrix**: per-shard
+  masked one-hot counts contracted on-device; the GSPMD partitioner inserts
+  the cross-shard reduction (the [C, C] result is tiny and replicated).
+  Accuracy and the reference's macro-F1 convention (F1 of macro-averaged
+  P and R with NaN→0, reference utils.py:84) derive from that matrix, so no
+  logits ever leave the device mesh.
+
+Mask semantics: train/val/test splits become float mask vectors over padded
+node rows; padding rows carry 0 in every mask and therefore never touch the
+loss or the metrics.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from textgcn_tpu.graph.structs import SparseGraph
+from textgcn_tpu.models.gcn import gcn_init
+from textgcn_tpu.parallel.halo import partition_rows_halo
+from textgcn_tpu.parallel.partition import pad_features, partition_rows
+from textgcn_tpu.parallel.sharded import (
+    AXIS,
+    make_mesh,
+    shard_arrays,
+    sharded_gcn_forward,
+)
+from textgcn_tpu.train.trainer import (
+    EarlyStopping,
+    TrainConfig,
+    train_val_split,
+)
+
+
+def masks_for_split(
+    n_pad: int, idx: np.ndarray, dtype=np.float32
+) -> np.ndarray:
+    m = np.zeros((n_pad,), dtype=dtype)
+    m[np.asarray(idx)] = 1.0
+    return m
+
+
+def _confusion_from_logits(logits, y, w, num_classes):
+    """Masked [C, C] confusion matrix: conf[t, p] = #(y==t & pred==p)."""
+    pred = jnp.argmax(logits, axis=1)
+    pred_1h = (pred[:, None] == jnp.arange(num_classes)[None, :]).astype(
+        jnp.float32
+    )
+    targ_1h = (y[:, None] == jnp.arange(num_classes)[None, :]).astype(
+        jnp.float32
+    )
+    return jnp.einsum("nt,np->tp", targ_1h * w[:, None], pred_1h)
+
+
+def metrics_from_confusion(conf: np.ndarray) -> Dict[str, float]:
+    """accuracy + the reference's macro P/R/F1 convention from a [C, C]
+    confusion matrix (F1 of macro averages, NaN→0; reference utils.py:84)."""
+    conf = np.asarray(conf, dtype=np.float64)
+    total = conf.sum()
+    tp = np.diag(conf)
+    fp = conf.sum(axis=0) - tp
+    fn = conf.sum(axis=1) - tp
+    prec = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1.0), 0.0)
+    rec = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1.0), 0.0)
+    p, r = float(prec.mean()), float(rec.mean())
+    f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
+    return {
+        "acc": float(tp.sum() / max(total, 1.0)),
+        "macro_f1": f1,
+        "precision": p,
+        "recall": r,
+    }
+
+
+class ShardedTrainer:
+    """Full-batch GCN training sharded over a device mesh.
+
+    Parameters mirror :class:`textgcn_tpu.train.trainer.Trainer`; extra:
+
+    ``n_shards``: mesh size (default: all visible devices).
+    ``partition``: "halo" (ring ppermute, O(N/P·F) memory — the scaling
+    path) or "allgather" (O(N·F) per chip, fewer hops on small graphs).
+    """
+
+    def __init__(
+        self,
+        graph: SparseGraph,
+        features: Optional[np.ndarray],
+        target: np.ndarray,
+        train_idx: np.ndarray,
+        test_idx: np.ndarray,
+        num_classes: int,
+        config: TrainConfig = TrainConfig(),
+        n_shards: Optional[int] = None,
+        partition: str = "halo",
+    ):
+        if features is None:
+            raise NotImplementedError(
+                "sharded identity-feature (docword) training is not wired "
+                "yet — materialize features or use the single-device Trainer"
+            )
+        self.mesh = make_mesh(n_shards)
+        self.n_shards = self.mesh.devices.size
+        if partition == "halo":
+            self.pg = partition_rows_halo(graph, self.n_shards)
+        elif partition == "allgather":
+            self.pg = partition_rows(graph, self.n_shards)
+        else:
+            raise ValueError(f"unknown partition strategy: {partition}")
+        self.partition = partition
+        self.cfg = config
+        self.num_classes = int(num_classes)
+        self.n_nodes = graph.n_nodes
+        n_pad = self.pg.n_pad
+
+        xp = pad_features(np.asarray(features, dtype=np.float32), n_pad)
+        yp = np.zeros((n_pad,), dtype=np.int32)
+        yp[: len(target)] = np.asarray(target)
+        self.train_idx_all = np.asarray(train_idx)
+        self.test_mask_np = masks_for_split(n_pad, test_idx)
+        # device placement with row sharding
+        self.x, self.y, self.test_mask = shard_arrays(
+            self.mesh, xp, yp, self.test_mask_np
+        )
+        self.n_pad = n_pad
+        self.history: List[Dict[str, float]] = []
+        self.params = None
+        self.train_time = 0.0
+        self.model_param = 0
+
+    # -- compiled steps -----------------------------------------------------
+
+    def _build_steps(self):
+        pg, mesh, cfg, C = self.pg, self.mesh, self.cfg, self.num_classes
+        opt = optax.adam(cfg.lr)
+
+        def loss_fn(params, x, y, w, rng):
+            logits = sharded_gcn_forward(
+                params, pg, x, mesh, dropout=cfg.dropout, train=True, rng=rng
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            return jnp.sum(nll * w) / jnp.sum(w)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, x, y, w, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, w, rng)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, x, y, w):
+            logits = sharded_gcn_forward(params, pg, x, mesh, train=False)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            loss = jnp.sum(nll * w) / jnp.sum(w)
+            conf = _confusion_from_logits(logits, y, w, C)
+            return loss, conf
+
+        return opt, train_step, eval_step
+
+    # -- the training loop --------------------------------------------------
+
+    def fit(self, verbose: bool = True) -> Dict[str, Any]:
+        cfg = self.cfg
+        tr, va = train_val_split(self.train_idx_all, cfg.val_ratio, cfg.seed)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sv = NamedSharding(self.mesh, P(AXIS))
+        train_mask = jax.device_put(
+            masks_for_split(self.n_pad, tr), sv
+        )
+        val_mask = jax.device_put(masks_for_split(self.n_pad, va), sv)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        key, init_key = jax.random.split(key)
+        params = gcn_init(
+            init_key, self.x.shape[1], cfg.n_hidden, self.num_classes
+        )
+        self.model_param = sum(
+            int(p.size) for p in jax.tree_util.tree_leaves(params)
+        )
+        opt, train_step, eval_step = self._build_steps()
+        self._eval_step = eval_step
+        opt_state = opt.init(params)
+        stopper = EarlyStopping(cfg.early_stopping)
+        all_rngs = jax.random.split(key, cfg.max_epoch)
+
+        start = time.time()
+        for epoch in range(cfg.max_epoch):
+            params, opt_state, tloss = train_step(
+                params, opt_state, self.x, self.y, train_mask, all_rngs[epoch]
+            )
+            vloss, vconf = eval_step(params, self.x, self.y, val_mask)
+            rec = {
+                "epoch": epoch,
+                "train_loss": float(tloss),
+                "val_loss": float(vloss),
+                **metrics_from_confusion(vconf),
+            }
+            self.history.append(rec)
+            if verbose:
+                print(
+                    " ".join(
+                        f"{k}:{v}" if isinstance(v, int) else f"{k}:{v:.4f}"
+                        for k, v in rec.items()
+                    )
+                )
+            if stopper(rec["val_loss"]):
+                break
+        self.train_time = time.time() - start
+        self.params = params
+        return {"epochs_run": len(self.history), "train_time": self.train_time}
+
+    def evaluate(self, mask, prefix: str = "test") -> Dict[str, float]:
+        loss, conf = self._eval_step(self.params, self.x, self.y, mask)
+        out = metrics_from_confusion(conf)
+        out[f"{prefix}_loss"] = float(loss)
+        return out
+
+    def test(self) -> Dict[str, float]:
+        out = self.evaluate(self.test_mask)
+        out["train_time"] = self.train_time
+        out["model_param"] = self.model_param
+        return out
+
+
+def run_sharded_experiment(
+    graph: SparseGraph,
+    features: np.ndarray,
+    target: np.ndarray,
+    train_idx: np.ndarray,
+    test_idx: np.ndarray,
+    num_classes: int,
+    seeds: List[int],
+    config: TrainConfig = TrainConfig(),
+    n_shards: Optional[int] = None,
+    partition: str = "halo",
+    verbose: bool = False,
+) -> Dict[str, Any]:
+    """Multi-seed sharded runs (the mesh analogue of train.run.run_experiment)."""
+    import dataclasses as _dc
+
+    runs = []
+    for seed in seeds:
+        t = ShardedTrainer(
+            graph,
+            features,
+            target,
+            train_idx,
+            test_idx,
+            num_classes,
+            config=_dc.replace(config, seed=seed),
+            n_shards=n_shards,
+            partition=partition,
+        )
+        t.fit(verbose=verbose)
+        runs.append({"seed": seed, "test": t.test(), "epochs": len(t.history)})
+    accs = [r["test"]["acc"] for r in runs]
+    return {
+        "partition": partition,
+        "n_shards": n_shards or len(jax.devices()),
+        "test_accuracy": {
+            "mean": float(np.mean(accs)),
+            "max": float(np.max(accs)),
+            "min": float(np.min(accs)),
+        },
+        "runs": runs,
+    }

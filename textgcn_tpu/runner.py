@@ -67,6 +67,9 @@ def load_config(path: str) -> Dict[str, Any]:
 
 
 def run_experiment_config(config_path: str) -> int:
+    from textgcn_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     cfg = load_config(config_path)
     dataset = cfg["dataset"]
     fam = cfg.get("graph", "topic")
@@ -82,7 +85,7 @@ def run_experiment_config(config_path: str) -> int:
     data_root = cfg.get("data_root", "data")
     family = cfg.get("graph", "topic")  # "topic" (TopicGCN) | "docword"
 
-    with _stage_log(log_dir, "build"):
+    with _stage_log(log_dir, "build"), timer.stage("build"):
         if family == "docword":
             from textgcn_tpu.graph.build_textgcn import TextGCNGraphBuilder
 
@@ -112,7 +115,7 @@ def run_experiment_config(config_path: str) -> int:
             builder.save()
 
     train_cfg = cfg.get("train", {})
-    with _stage_log(log_dir, "train"):
+    with _stage_log(log_dir, "train"), timer.stage("train"):
         from textgcn_tpu.train.run import run_experiment
         from textgcn_tpu.train.trainer import TrainConfig
 
@@ -123,6 +126,7 @@ def run_experiment_config(config_path: str) -> int:
             max_epoch=train_cfg.get("max_epoch", 200),
             early_stopping=train_cfg.get("early_stopping", 10),
             val_ratio=train_cfg.get("val_ratio", 0.1),
+            spmm=train_cfg.get("spmm", "auto"),
         )
         pre = None
         if family == "docword":
@@ -144,7 +148,7 @@ def run_experiment_config(config_path: str) -> int:
     ins_cfg = cfg.get("inspect", {})
     # topic inspection only applies to the topic family
     if ins_cfg.get("enabled", True) and family == "topic":
-        with _stage_log(log_dir, "inspect"):
+        with _stage_log(log_dir, "inspect"), timer.stage("inspect"):
             from textgcn_tpu.inspect.topics import inspect_topics
 
             inspect_topics(
@@ -155,4 +159,13 @@ def run_experiment_config(config_path: str) -> int:
                 heatmap=ins_cfg.get("heatmap", True),
                 output_dir=res_dir,
             )
+
+    # per-stage wall-clock report (replaces the reference's ad-hoc time()
+    # prints, SURVEY.md §5) — printed and kept with the experiment logs
+    report = timer.report()
+    print(report)
+    with open(
+        os.path.join(log_dir, "stage_times.txt"), "w", encoding="utf-8"
+    ) as f:
+        f.write(report + "\n")
     return 0

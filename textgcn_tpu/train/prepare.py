@@ -34,16 +34,66 @@ from textgcn_tpu.topics.model import TopicModel, load_documents_from_file
 
 @dataclasses.dataclass
 class PreparedData:
-    graph: SparseGraph
-    features: np.ndarray  # [N, F] float32 dense
+    graph: object  # SparseGraph or any spmm-dispatchable container
+    features: np.ndarray  # [N, F] float32 dense (None = identity features)
     labels: DatasetLabels
     n_feat: int
     num_docs: int
     num_topics: int
+    # node relabeling applied by apply_spmm_format (perm[old] = new);
+    # None when node ids are the artifact's original ids
+    perm: Optional[np.ndarray] = None
 
     @property
     def n_nodes(self) -> int:
         return self.graph.n_nodes
+
+
+def apply_spmm_format(pre: PreparedData, fmt: str = "auto") -> PreparedData:
+    """Convert ``pre.graph`` to the requested SpMM kernel format.
+
+    This is the knob that routes real training runs through the Pallas
+    kernels (:mod:`textgcn_tpu.graph.format`). The ``hybrid`` format
+    relabels nodes (degree sort); features, labels, and split indices are
+    permuted consistently, so training/eval semantics are unchanged:
+    ``P Â Pᵀ (P x) = P (Â x)``.
+
+    No-op when the graph is already converted (not a SparseGraph).
+    """
+    if not isinstance(pre.graph, SparseGraph) or fmt == "segment":
+        return pre
+    from textgcn_tpu.graph.format import convert_graph, permute_rows
+
+    graph, perm = convert_graph(pre.graph, fmt, symmetric=True)
+    if perm is None:
+        return dataclasses.replace(pre, graph=graph)
+    labels = pre.labels
+    new_labels = dataclasses.replace(
+        labels,
+        target=permute_rows_1d_docs(labels.target, perm),
+        train_idx=perm[labels.train_idx],
+        test_idx=perm[labels.test_idx],
+    )
+    features = (
+        None if pre.features is None else permute_rows(pre.features, perm)
+    )
+    return dataclasses.replace(
+        pre, graph=graph, features=features, labels=new_labels, perm=perm
+    )
+
+
+def permute_rows_1d_docs(target: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """Relabel per-doc labels to permuted node ids.
+
+    Doc labels live at node ids [0, D); after the permutation doc ``d``
+    sits at node ``perm[d]``, which can be any id in [0, N). The target
+    vector therefore grows to N entries; non-doc nodes get label 0 (never
+    indexed — train/test idx only point at doc nodes).
+    """
+    n = len(perm)
+    out = np.zeros((n,), dtype=np.asarray(target).dtype)
+    out[perm[: len(target)]] = target
+    return out
 
 
 def normalize_rows_l2(x: np.ndarray) -> np.ndarray:

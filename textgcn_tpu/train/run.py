@@ -55,6 +55,9 @@ def run_experiment(
     """
     if pre_data is None:
         pre_data = prepare_topic_data(dataset, data_root=data_root)
+    from textgcn_tpu.train.prepare import apply_spmm_format
+
+    pre_data = apply_spmm_format(pre_data, config.spmm)
     seeds = seeds or generate_seeds(times)
 
     best_acc = -1.0
@@ -119,9 +122,11 @@ def evaluate_checkpoint(
     graph_family: str = "topic",
     data_root: str = "data",
     pre_data: Optional[PreparedData] = None,
+    spmm: str = "auto",
 ) -> Dict[str, float]:
     """Restore params from an Orbax checkpoint and evaluate on the test split
     (the ``--load_model`` CLI path)."""
+    from textgcn_tpu.train.prepare import apply_spmm_format
     from textgcn_tpu.train.trainer import Trainer
 
     if pre_data is None:
@@ -131,6 +136,7 @@ def evaluate_checkpoint(
             pre_data = prepare_docword_data(dataset, data_root=data_root)
         else:
             pre_data = prepare_topic_data(dataset, data_root=data_root)
+    pre_data = apply_spmm_format(pre_data, spmm)
     trainer = Trainer(
         pre_data.graph,
         pre_data.features,

@@ -46,6 +46,10 @@ class TrainConfig:
     # epochs per compiled scan block (1 = epoch-at-a-time dispatch);
     # results are bit-identical across block sizes.
     epoch_block: int = 10
+    # SpMM kernel/graph format (textgcn_tpu.graph.format.SPMM_FORMATS):
+    # auto | segment | dense | bsr | onehot | hybrid. Applied by
+    # run_experiment via apply_spmm_format before the Trainer is built.
+    spmm: str = "auto"
 
 
 class EarlyStopping:

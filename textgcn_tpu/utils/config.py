@@ -35,6 +35,8 @@ class TrainSection:
     early_stopping: int = 10
     val_ratio: float = 0.1
     epoch_block: int = 10
+    # SpMM kernel/graph format: auto | segment | dense | bsr | onehot | hybrid
+    spmm: str = "auto"
 
 
 @dataclasses.dataclass
