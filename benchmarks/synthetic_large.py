@@ -25,6 +25,86 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def make_random_edge_fn(n: int, chunk_e: int, seed: int = 0):
+    """On-device uniform-random edge generator: chunk i -> (row, col, val).
+
+    Deterministic per (seed, i): the same stream can be replayed for
+    verification (tests/test_spmm.py streamed-oracle test uses this).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def edge_fn(i):
+        k = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        kr, kc, kv = jax.random.split(k, 3)
+        row = jax.random.randint(kr, (chunk_e,), 0, n, dtype=jnp.int32)
+        col = jax.random.randint(kc, (chunk_e,), 0, n, dtype=jnp.int32)
+        val = jax.random.uniform(kv, (chunk_e,), dtype=jnp.float32)
+        return row, col, val
+
+    return edge_fn
+
+
+def run_stream(args) -> int:
+    """BASELINE 10M-node / 500M-edge shape on ONE chip via edge streaming.
+
+    Memory bounding (v5e, 16 GB HBM): X bf16 10M×128×2 = 2.6 GB, f32
+    accumulator 10M×128×4 = 5.1 GB, per-chunk transient gather product
+    chunk×F×2 ≈ 1 GB at the 4M default — the 6 GB COO edge list never
+    exists on device. At F=256 the resident set doubles; that is the
+    multi-host (row-partitioned halo) regime, measured on the virtual mesh
+    in benchmarks/scaling_bench.py.
+    """
+    import jax.numpy as jnp
+
+    from textgcn_tpu.ops.spmm import spmm_streamed
+
+    import jax
+
+    n, e = args.n, args.n * args.deg
+    n_chunks = -(-e // args.chunk)
+    print(
+        f"[stream] {n} nodes, {e} edges in {n_chunks} x {args.chunk} "
+        f"chunks, F={args.f} (bf16 features)",
+        file=sys.stderr,
+        flush=True,
+    )
+    # features generated on device: a [10M, 128] host transfer through the
+    # tunnel (4-400 MB/s) would dwarf the measurement
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (n, args.f), dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(42))
+    edge_fn = make_random_edge_fn(n, args.chunk)
+    out = spmm_streamed(edge_fn, x, n, n_chunks)  # compile + warmup
+    checksum = float(jnp.sum(out))
+    reps = max(args.steps // 3, 1)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        # the previous output (5.1 GB at 10M x 128) must be freed BEFORE
+        # the next call allocates its accumulator, or the two coexist and
+        # bust HBM; rebinding `out` alone keeps the old buffer alive while
+        # the RHS executes
+        out.delete()
+        out = spmm_streamed(edge_fn, x, n, n_chunks)
+    checksum = float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"[stream] checksum {checksum:.6g}", file=sys.stderr, flush=True)
+    print(
+        json.dumps(
+            {
+                "phase": "spmm_streamed",
+                "n_nodes": n,
+                "n_edges": e,
+                "f": args.f,
+                "ms": dt * 1e3,
+                "edges_per_s": e / dt,
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=2_000_000)
@@ -40,7 +120,24 @@ def main() -> int:
         help="SpMM path: XLA gather+segment_sum, or the Pallas one-hot "
         "MXU reducer (uniform-sparsity hot kernel)",
     )
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="edge-streaming mode for graphs beyond HBM (the BASELINE "
+        "10M-node/500M-edge config): edges are generated on-device chunk "
+        "by chunk inside the compiled loop (ops.spmm.spmm_streamed); only "
+        "features (bf16) + the f32 accumulator are HBM-resident",
+    )
+    p.add_argument(
+        "--chunk",
+        type=int,
+        default=4_000_000,
+        help="edges per streamed chunk (bounds the transient gather product)",
+    )
     args = p.parse_args()
+
+    if args.stream:
+        return run_stream(args)
 
     import jax
     import jax.numpy as jnp

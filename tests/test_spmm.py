@@ -116,3 +116,27 @@ def test_bsr_grouped_matches_dense(group):
     got = np.asarray(spmm_bsr_grouped(gg, jnp.asarray(x), interpret=True))
     want = m.toarray() @ x
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_streamed_matches_materialized_oracle():
+    """The edge-streaming SpMM (for graphs beyond HBM) must equal the
+    materialized computation on a replayed stream (small scale)."""
+    import sys, os
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks")
+    )
+    from synthetic_large import make_random_edge_fn
+
+    from textgcn_tpu.ops.spmm import spmm_streamed
+
+    n, chunk_e, n_chunks, f = 300, 512, 3, 17
+    edge_fn = make_random_edge_fn(n, chunk_e, seed=9)
+    x = np.random.RandomState(1).randn(n, f).astype(np.float32)
+    got = np.asarray(spmm_streamed(edge_fn, jnp.asarray(x), n, n_chunks))
+
+    a = np.zeros((n, n), dtype=np.float64)
+    for i in range(n_chunks):
+        r, c, v = (np.asarray(t) for t in edge_fn(i))
+        np.add.at(a, (r, c), v)
+    np.testing.assert_allclose(got, a @ x, rtol=1e-4, atol=1e-4)

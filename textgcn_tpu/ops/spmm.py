@@ -136,6 +136,60 @@ def spmm_dense(a_dense: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(a_dense, x, preferred_element_type=jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("edge_fn", "n_chunks", "n_nodes"))
+def spmm_streamed(
+    edge_fn,
+    x: jnp.ndarray,
+    n_nodes: int,
+    n_chunks: int,
+) -> jnp.ndarray:
+    """``Â @ x`` over an edge STREAM that never materializes in HBM.
+
+    For graphs whose edge list exceeds device memory (the BASELINE 10M-node
+    / 500M-edge config: 500M edges × 12 B = 6 GB of COO on top of ~10 GB of
+    features+output — past a 16 GB chip), the edges are produced chunk by
+    chunk inside the compiled loop and scatter-added into the resident
+    accumulator. Only ``x`` ([N, F], bf16 recommended) and the f32
+    accumulator ([N+1, F]) live in HBM; each chunk's [chunk_e, F] gather
+    product is a transient.
+
+    Args:
+      edge_fn: static traceable ``i -> (row, col, val)`` producing chunk
+        ``i``'s edges on device (e.g. from a PRNG for synthetic graphs, or
+        via ``jax.device_put`` streaming callbacks for real ones). Padding
+        convention: ``row == n_nodes`` drops the edge (out-of-bounds
+        scatter updates drop; ``col == n_nodes`` gathers the phantom row).
+      x: [n_nodes, F] features.
+      n_nodes, n_chunks: static.
+    Returns:
+      [n_nodes, F] float32.
+
+    Memory note: the accumulator IS the output buffer — no [N+1] phantom
+    row and no post-loop slice, so exactly one [N, F] f32 array lives in
+    HBM beyond ``x`` (at 10M x 128 the phantom-row variant's slice copy
+    alone would add 5 GB and bust a 16 GB chip). Likewise the out-of-range
+    ``col`` gather uses a masked-fill gather directly from ``x`` rather
+    than concatenating a phantom row — the concat would copy all of ``x``
+    (another 2.6 GB at that shape).
+    """
+
+    def body(i, acc):
+        row, col, val = edge_fn(i)
+        gathered = jnp.take(
+            x, col, axis=0, mode="fill", fill_value=0, unique_indices=False
+        )
+        contrib = gathered * val[:, None].astype(x.dtype)
+        return acc.at[row].add(
+            contrib.astype(jnp.float32),
+            indices_are_sorted=False,
+            unique_indices=False,
+            mode="drop",
+        )
+
+    acc = jnp.zeros((n_nodes, x.shape[1]), dtype=jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, acc)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def spmm_bsr_ad(
     graph: BlockSparseGraph,
