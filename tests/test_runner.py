@@ -155,3 +155,46 @@ def test_ohsumed_style_training_tag(tmp_path, monkeypatch):
     labels = load_labels(str(tmp_path / "data/text_dataset/tinyoh.txt"))
     assert len(labels.train_idx) == 18
     assert len(labels.test_idx) == 6
+
+
+def test_cli_train_sharded(tiny_root):
+    """`cli train --shards 2 --partition halo` runs the full multi-seed
+    sharded experiment (ShardedTrainer over a 2-device mesh) and writes the
+    same report files as the single-device path."""
+    import json
+
+    from textgcn_tpu.cli import main
+    from textgcn_tpu.graph.build_topic import TopicGraphBuilder
+
+    b = TopicGraphBuilder(
+        "tiny", num_topics=4, min_df=1, max_df=1.0, lda_max_iter=10,
+        data_root="data", verbose=False,
+    )
+    b.build()
+    b.save()
+    rc = main(
+        [
+            "train", "--dataset", "tiny", "--times", "1",
+            "--max_epoch", "20", "--nhid", "8",
+            "--shards", "2", "--partition", "halo", "--quiet",
+        ]
+    )
+    assert rc == 0
+    report = tiny_root / "results/tiny_topic_training_results.json"
+    summary = json.loads(report.read_text())
+    assert summary["sharding"] == {"n_shards": 2, "partition": "halo"}
+    acc = summary["test_accuracy"]["mean"]
+    assert 0.0 <= acc <= 1.0
+
+
+def test_sharded_rejects_kernel_format_flag(tiny_root):
+    """--spmm hybrid + --shards is a config error (the sharded path owns its
+    per-shard layout) and must fail loud before any training."""
+    import pytest as _pytest
+
+    from textgcn_tpu.train.run import run_experiment
+
+    with _pytest.raises(ValueError, match="sharded"):
+        run_experiment("tiny", n_shards=2, config=__import__(
+            "textgcn_tpu.train.trainer", fromlist=["TrainConfig"]
+        ).TrainConfig(spmm="hybrid"))

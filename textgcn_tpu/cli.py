@@ -121,6 +121,8 @@ def cmd_train(args) -> int:
             pre_data=pre_data,
             verbose=not args.quiet,
             save_model=args.save_model,
+            n_shards=args.shards,
+            partition=args.partition,
         )
     acc = summary["test_accuracy"]
     print(
@@ -213,6 +215,23 @@ def main(argv=None) -> int:
         default=None,
         help="restore an Orbax checkpoint and evaluate on the test split "
         "(skips training)",
+    )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        metavar="N",
+        help="train sharded over an N-device 1-D mesh (row-partitioned "
+        "adjacency + features under shard_map; full train/val/early-stop/"
+        "test semantics on the mesh). Requires N visible devices.",
+    )
+    p.add_argument(
+        "--partition",
+        default="halo",
+        choices=["halo", "allgather"],
+        help="sharded aggregation layout: halo = ppermute feature ring, "
+        "O(N/P) memory per chip (the scaling path); allgather = replicate "
+        "features per step, fewer hops on small graphs",
     )
     p.add_argument("--quiet", action="store_true")
     p.add_argument(

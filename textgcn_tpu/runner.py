@@ -17,6 +17,8 @@ YAML schema (same shape as the reference's experiments/r8.yaml:1-18):
     use_word2vec: true
   train:
     times: 1
+    shards: 8          # optional: sharded training over an 8-device mesh
+    partition: halo    # halo (ppermute ring) | allgather
   inspect:
     top_n_words: 10
     top_n_docs: 5
@@ -141,6 +143,8 @@ def run_experiment_config(config_path: str) -> int:
             output_dir=res_dir,
             config=tc,
             pre_data=pre,
+            n_shards=train_cfg.get("shards"),
+            partition=train_cfg.get("partition", "halo"),
         )
         acc = summary["test_accuracy"]
         print(f"test accuracy: mean={acc['mean']:.4f} max={acc['max']:.4f}")

@@ -46,18 +46,36 @@ def run_experiment(
     pre_data: Optional[PreparedData] = None,
     verbose: bool = True,
     save_model: Optional[str] = None,
+    n_shards: Optional[int] = None,
+    partition: str = "halo",
 ) -> Dict[str, Any]:
     """Train `times` seeds on `dataset`; write reports; return summary.
 
     ``save_model``: optional checkpoint directory — the best-accuracy run's
     parameters are saved there via Orbax (the reference's checkpoint path is
     dead code, reference utils.py:244,254 — here it is a working CLI flag).
+
+    ``n_shards``: when set, each seed trains on an ``n_shards``-device 1-D
+    mesh via :class:`textgcn_tpu.parallel.trainer.ShardedTrainer` (row-
+    partitioned Â and features, ``partition`` = "halo" ppermute ring or
+    "allgather"), with identical train/val/early-stop/test semantics.
     """
+    if save_model and n_shards is not None:
+        raise ValueError(
+            "--save_model with --shards is not supported yet: sharded "
+            "params are replicated, save from a single-device run instead"
+        )
+    if n_shards is not None and config.spmm not in ("auto", "segment"):
+        raise ValueError(
+            "--spmm kernel formats apply to single-device training; the "
+            "sharded path picks its own per-shard layout (halo/allgather)"
+        )
     if pre_data is None:
         pre_data = prepare_topic_data(dataset, data_root=data_root)
     from textgcn_tpu.train.prepare import apply_spmm_format
 
-    pre_data = apply_spmm_format(pre_data, config.spmm)
+    if n_shards is None:
+        pre_data = apply_spmm_format(pre_data, config.spmm)
     seeds = seeds or generate_seeds(times)
 
     best_acc = -1.0
@@ -65,15 +83,30 @@ def run_experiment(
     runs: List[Dict[str, Any]] = []
     for i, seed in enumerate(seeds):
         cfg = dataclasses.replace(config, seed=seed)
-        trainer = Trainer(
-            pre_data.graph,
-            pre_data.features,
-            pre_data.labels.target,
-            pre_data.labels.train_idx,
-            pre_data.labels.test_idx,
-            pre_data.labels.n_classes,
-            config=cfg,
-        )
+        if n_shards is not None:
+            from textgcn_tpu.parallel.trainer import ShardedTrainer
+
+            trainer = ShardedTrainer(
+                pre_data.graph,
+                pre_data.features,
+                pre_data.labels.target,
+                pre_data.labels.train_idx,
+                pre_data.labels.test_idx,
+                pre_data.labels.n_classes,
+                config=cfg,
+                n_shards=n_shards,
+                partition=partition,
+            )
+        else:
+            trainer = Trainer(
+                pre_data.graph,
+                pre_data.features,
+                pre_data.labels.target,
+                pre_data.labels.train_idx,
+                pre_data.labels.test_idx,
+                pre_data.labels.n_classes,
+                config=cfg,
+            )
         trainer.fit(verbose=verbose)
         test_desc = trainer.test()
         if verbose:
@@ -107,6 +140,8 @@ def run_experiment(
         "runs": runs,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
+    if n_shards is not None:
+        summary["sharding"] = {"n_shards": n_shards, "partition": partition}
     if save_model:
         path = best_trainer.save(save_model)
         summary["checkpoint"] = path
