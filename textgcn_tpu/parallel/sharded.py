@@ -79,7 +79,7 @@ def spmm_sharded(pg: PartitionedGraph, x: jnp.ndarray, mesh: Mesh) -> jnp.ndarra
 def sharded_gcn_forward(
     params,
     pg,
-    x: jnp.ndarray,
+    x: Optional[jnp.ndarray],
     mesh: Mesh,
     *,
     dropout: float = 0.0,
@@ -92,6 +92,14 @@ def sharded_gcn_forward(
     O(N·F) per-chip memory) or a
     :class:`textgcn_tpu.parallel.halo.HaloPartitionedGraph` (ring halo
     exchange, O(N/P·F) memory) — the aggregation dispatches on type.
+
+    ``x=None`` selects identity features (classic TextGCN doc-word
+    graphs): layer 1's support ``I @ W1`` IS ``W1``, so ``gc1.w`` must be
+    a **row-sharded [n_pad, H]** table (node rows, same P("nodes", None)
+    layout as features) rather than a replicated [F, H] weight — the
+    embedding-table formulation of models/gcn.py:76-77 carried onto the
+    mesh, with tensor-parallel-style sharded parameter gradients falling
+    out of shard_map AD for free.
     """
     from textgcn_tpu.parallel.halo import HaloPartitionedGraph, spmm_halo
 
@@ -100,7 +108,12 @@ def sharded_gcn_forward(
         if isinstance(pg, HaloPartitionedGraph)
         else (lambda s: spmm_sharded(pg, s, mesh))
     )
-    support = jnp.dot(x, params["gc1"]["w"], preferred_element_type=jnp.float32)
+    if x is None:
+        support = params["gc1"]["w"]
+    else:
+        support = jnp.dot(
+            x, params["gc1"]["w"], preferred_element_type=jnp.float32
+        )
     h = agg(support) + params["gc1"]["b"]
     h = jax.nn.relu(h)
     if train and dropout > 0.0:

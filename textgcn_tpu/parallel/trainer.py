@@ -109,11 +109,6 @@ class ShardedTrainer:
         n_shards: Optional[int] = None,
         partition: str = "halo",
     ):
-        if features is None:
-            raise NotImplementedError(
-                "sharded identity-feature (docword) training is not wired "
-                "yet — materialize features or use the single-device Trainer"
-            )
         self.mesh = make_mesh(n_shards)
         self.n_shards = self.mesh.devices.size
         if partition == "halo":
@@ -128,15 +123,26 @@ class ShardedTrainer:
         self.n_nodes = graph.n_nodes
         n_pad = self.pg.n_pad
 
-        xp = pad_features(np.asarray(features, dtype=np.float32), n_pad)
         yp = np.zeros((n_pad,), dtype=np.int32)
         yp[: len(target)] = np.asarray(target)
         self.train_idx_all = np.asarray(train_idx)
         self.test_mask_np = masks_for_split(n_pad, test_idx)
-        # device placement with row sharding
-        self.x, self.y, self.test_mask = shard_arrays(
-            self.mesh, xp, yp, self.test_mask_np
-        )
+        # device placement with row sharding; features=None = identity
+        # features (docword): layer 1 becomes a row-sharded [n_pad, H]
+        # parameter table instead (see sharded_gcn_forward), so there is
+        # no feature array to place at all
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sv = NamedSharding(self.mesh, P(AXIS))
+        if features is None:
+            self.x = None
+            self.y = jax.device_put(yp, sv)
+            self.test_mask = jax.device_put(self.test_mask_np, sv)
+        else:
+            xp = pad_features(np.asarray(features, dtype=np.float32), n_pad)
+            self.x, self.y, self.test_mask = shard_arrays(
+                self.mesh, xp, yp, self.test_mask_np
+            )
         self.n_pad = n_pad
         self.history: List[Dict[str, float]] = []
         self.params = None
@@ -190,11 +196,29 @@ class ShardedTrainer:
 
         key = jax.random.PRNGKey(cfg.seed)
         key, init_key = jax.random.split(key)
-        params = gcn_init(
-            init_key, self.x.shape[1], cfg.n_hidden, self.num_classes
-        )
-        self.model_param = sum(
-            int(p.size) for p in jax.tree_util.tree_leaves(params)
+        if self.x is None:
+            # identity features: gc1.w is the [n_pad, H] node-embedding
+            # table, row-sharded exactly like feature rows (padding rows
+            # receive no edges, so their grads are zero and they stay at
+            # init — never read by any real node's logits)
+            params = gcn_init(
+                init_key, self.n_pad, cfg.n_hidden, self.num_classes
+            )
+            sx = NamedSharding(self.mesh, P(AXIS, None))
+            params["gc1"]["w"] = jax.device_put(params["gc1"]["w"], sx)
+            n_feat_real = self.n_nodes
+        else:
+            params = gcn_init(
+                init_key, self.x.shape[1], cfg.n_hidden, self.num_classes
+            )
+            n_feat_real = self.x.shape[1]
+        # report the same param count as the single-device Trainer
+        # (padding rows excluded)
+        self.model_param = (
+            n_feat_real * cfg.n_hidden
+            + cfg.n_hidden
+            + cfg.n_hidden * self.num_classes
+            + self.num_classes
         )
         opt, train_step, eval_step = self._build_steps()
         self._eval_step = eval_step
