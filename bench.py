@@ -133,6 +133,57 @@ def docword_perf(dataset: str = "R8") -> dict:
     return out
 
 
+def streamed_scale_perf(
+    n: int = 10_000_000, deg: int = 50, f: int = 128, chunk: int = 4_000_000
+) -> dict:
+    """Driver-captured BASELINE scale config (10M nodes / 500M edges) on one
+    chip via the edge-streaming SpMM — the 6 GB COO edge list never exists
+    in HBM (ops/spmm.py spmm_streamed; analysis in benchmarks/RESULTS.md)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    from synthetic_large import make_random_edge_fn
+
+    from textgcn_tpu.ops.spmm import spmm_streamed
+
+    # the streamed pass needs ~10 GB of HBM headroom; training-phase
+    # leftovers (dense topic Â, docword graph formats, jit executables'
+    # scratch) must go first — this is the last phase, nothing is reused
+    gc.collect()
+    for a in jax.live_arrays():
+        a.delete()
+    jax.clear_caches()
+    e = n * deg
+    n_chunks = -(-e // chunk)
+    x = jax.jit(lambda k: jax.random.normal(k, (n, f), dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(42)
+    )
+    edge_fn = make_random_edge_fn(n, chunk)
+    out = spmm_streamed(edge_fn, x, n, n_chunks)  # compile + warmup
+    float(jnp.sum(out))  # forced readback: block_until_ready lies via tunnel
+    out.delete()  # two accumulators may not coexist (5.1 GB each)
+    t0 = time.perf_counter()
+    out = spmm_streamed(edge_fn, x, n, n_chunks)
+    float(jnp.sum(out))
+    dt = time.perf_counter() - t0
+    out.delete()
+    res = {
+        "n_nodes": n,
+        "n_edges": e,
+        "f": f,
+        "full_pass_s": dt,
+        "edges_per_s": e / dt,
+    }
+    log(
+        f"[bench] streamed 10M/500M scale config: {dt:.1f} s per full "
+        f"A@X pass ({e / dt / 1e6:.0f}M edges/s) on one chip"
+    )
+    return res
+
+
 def main() -> int:
     t0 = time.time()
     os.chdir(os.path.dirname(os.path.abspath(__file__)))
@@ -166,16 +217,9 @@ def main() -> int:
         f"total_bench_time={time.time() - t0:.0f}s"
     )
 
-    # secondary driver-captured perf numbers (stderr + results JSON only —
-    # the stdout contract stays one JSON line)
-    try:
-        perf = docword_perf("R8")
-        with open(
-            os.path.join("results", "perf_bench.json"), "w", encoding="utf-8"
-        ) as f:
-            json.dump(perf, f, indent=2)
-    except Exception as e:  # perf reporting must never break the contract
-        log(f"[bench] perf section failed: {e!r}")
+    # the ONE stdout JSON line goes out BEFORE the secondary perf phases:
+    # if the driver times the process out mid-perf, the headline metric
+    # must already be on stdout
     print(
         json.dumps(
             {
@@ -184,8 +228,24 @@ def main() -> int:
                 "unit": "%",
                 "vs_baseline": round(acc / baseline_acc, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # secondary driver-captured perf numbers (stderr + results JSON only —
+    # the stdout contract stays one JSON line)
+    try:
+        perf = docword_perf("R8")
+        try:
+            perf["streamed_scale"] = streamed_scale_perf()
+        except Exception as e:
+            log(f"[bench] streamed scale section failed: {e!r}")
+        with open(
+            os.path.join("results", "perf_bench.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(perf, f, indent=2)
+    except Exception as e:  # perf reporting must never break the contract
+        log(f"[bench] perf section failed: {e!r}")
     return 0
 
 

@@ -137,6 +137,7 @@ class TopicGraphBuilder:
         tm.get_topic_embeddings(top_n=20)
         theta = tm.get_document_topic_distribution(documents)
         self.topic_model = tm
+        self._theta = theta
         self.graph = self.build_from_arrays(
             theta, tm.topic_embeddings
         )
@@ -178,6 +179,12 @@ class TopicGraphBuilder:
         write_weighted_edgelist(self.graph, base + ".txt")
         if self.topic_model is not None:
             self.topic_model.save(base + "_model.pkl")
+        if getattr(self, "_theta", None) is not None:
+            # stage artifact: train-time prepare loads this instead of
+            # re-running LDA inference over the corpus (values identical —
+            # deterministic E-step on the same model+docs; the reference
+            # recomputes at trainer.py:179, ~2 min of pure recompute per run)
+            np.save(base + "_theta.npy", self._theta)
         export_protege_csvs(self.graph, self.topic_model, base)
         if self.verbose:
             print(f"Saved graph artifacts under {out_dir}")

@@ -85,6 +85,73 @@ def gcn_forward(
     return graph_conv(params["gc2"], graph, h)
 
 
+def gcn_edge_init(
+    key: jax.Array,
+    graph,
+    n_feat: int,
+    n_hidden: int,
+    n_class: int,
+) -> Params:
+    """:func:`gcn_init` plus a learnable per-edge log-scale (init 0 ⇒
+    scale 1 ⇒ exactly the fixed-Â model at initialization)."""
+    params = gcn_init(key, n_feat, n_hidden, n_class)
+    params["edge_logit"] = jnp.zeros(graph.row.shape, dtype=jnp.float32)
+    return params
+
+
+def gcn_edge_forward(
+    params: Params,
+    graph,
+    x: Optional[jnp.ndarray],
+    *,
+    dropout: float = 0.5,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Two-layer GCN with **learnable edge weights**: Â's entries are scaled
+    by ``exp(edge_logit_e)`` (positive, identity at init) and trained jointly
+    with the layer weights through the edge-differentiable SpMM
+    (:func:`textgcn_tpu.ops.spmm.spmm_coo_segment_ew`, whose val-VJP is an
+    SDDMM pass). A capability the reference cannot express — its
+    ``torch.spmm`` adjacency is a frozen buffer (reference layer.py:102,106).
+
+    Requires a COO :class:`SparseGraph` (the segment kernel); other formats
+    hold their values in tiled layouts where per-edge scaling loses meaning.
+    """
+    from textgcn_tpu.graph.structs import SparseGraph
+    from textgcn_tpu.ops.spmm import spmm_coo_segment_ew
+
+    if not isinstance(graph, SparseGraph):
+        raise TypeError(
+            "learnable edge weights need a SparseGraph (COO segment path); "
+            f"got {type(graph).__name__}"
+        )
+    val = graph.val * jnp.exp(params["edge_logit"])
+
+    def agg(support):
+        # SparseGraph.from_coo sorts by (row, col), so rows are sorted
+        return spmm_coo_segment_ew(
+            graph.row, graph.col, val, support, graph.n_nodes, True
+        )
+
+    if x is None:
+        h = agg(params["gc1"]["w"]) + params["gc1"]["b"]
+    else:
+        support = jnp.dot(
+            x, params["gc1"]["w"], preferred_element_type=jnp.float32
+        )
+        h = agg(support) + params["gc1"]["b"]
+    h = jax.nn.relu(h)
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+    support2 = jnp.dot(
+        h, params["gc2"]["w"], preferred_element_type=jnp.float32
+    )
+    return agg(support2) + params["gc2"]["b"]
+
+
 @dataclasses.dataclass
 class GCN:
     """Convenience wrapper bundling hyperparameters with init/apply.

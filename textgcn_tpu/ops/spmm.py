@@ -132,6 +132,89 @@ def _spmm_bwd(n_nodes, indices_are_sorted, res, g):
 spmm_coo_segment.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+def sddmm(
+    row: jnp.ndarray,
+    col: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sampled dense-dense matmul: ``out[e] = a[row[e]] · b[col[e]]``.
+
+    The sparse-pattern-restricted product ``(A ⊙ (a @ bᵀ))`` evaluated only
+    at edge positions — the op the reference never needs (its ``torch.spmm``
+    adjacency is frozen, layer.py:102,106) but a framework with learnable
+    edge weights does: it IS the VJP of SpMM w.r.t. the edge values.
+    Out-of-range indices (padding, == N) contribute 0 via masked-fill
+    gathers. Chunked over the edge stream so the [E, F] gather transients
+    stay under the same HBM cap as SpMM.
+    """
+    e_pad = row.shape[0]
+    f = a.shape[1]
+    n_chunks = _chunk_count(e_pad, 2 * f)
+    if n_chunks == 1:
+        ga = jnp.take(a, row, axis=0, mode="fill", fill_value=0)
+        gb = jnp.take(b, col, axis=0, mode="fill", fill_value=0)
+        return jnp.sum(ga.astype(jnp.float32) * gb.astype(jnp.float32), axis=1)
+
+    chunk = -(-e_pad // n_chunks)
+    extra = n_chunks * chunk - e_pad
+    n = a.shape[0]
+    if extra:
+        row = jnp.concatenate([row, jnp.full((extra,), n, row.dtype)])
+        col = jnp.concatenate([col, jnp.full((extra,), n, col.dtype)])
+
+    def body(_, rc):
+        r, c = rc
+        ga = jnp.take(a, r, axis=0, mode="fill", fill_value=0)
+        gb = jnp.take(b, c, axis=0, mode="fill", fill_value=0)
+        return None, jnp.sum(
+            ga.astype(jnp.float32) * gb.astype(jnp.float32), axis=1
+        )
+
+    _, out = jax.lax.scan(
+        body,
+        None,
+        (row.reshape(n_chunks, chunk), col.reshape(n_chunks, chunk)),
+    )
+    return out.reshape(-1)[:e_pad]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def spmm_coo_segment_ew(
+    row: jnp.ndarray,
+    col: jnp.ndarray,
+    val: jnp.ndarray,
+    x: jnp.ndarray,
+    n_nodes: int,
+    indices_are_sorted: bool = True,
+) -> jnp.ndarray:
+    """:func:`spmm_coo_segment` that is ALSO differentiable in ``val``.
+
+    Separate entry point so the frozen-adjacency hot path pays nothing:
+    the extra VJP residual here is ``x`` plus an :func:`sddmm` pass on the
+    backward (dval[e] = g[row[e]] · x[col[e]]). Use for learnable edge
+    weights (attention-style edge scaling).
+    """
+    return _spmm_coo_impl(row, col, val, x, n_nodes, indices_are_sorted)
+
+
+def _spmm_ew_fwd(row, col, val, x, n_nodes, indices_are_sorted):
+    return (
+        _spmm_coo_impl(row, col, val, x, n_nodes, indices_are_sorted),
+        (row, col, val, x),
+    )
+
+
+def _spmm_ew_bwd(n_nodes, indices_are_sorted, res, g):
+    row, col, val, x = res
+    dx = _spmm_coo_impl(col, row, val, g, n_nodes, False)
+    dval = sddmm(row, col, g, x)
+    return None, None, dval.astype(val.dtype), dx
+
+
+spmm_coo_segment_ew.defvjp(_spmm_ew_fwd, _spmm_ew_bwd)
+
+
 def spmm_dense(a_dense: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(a_dense, x, preferred_element_type=jnp.float32)
 

@@ -192,10 +192,30 @@ def prepare_topic_data(
     tm = TopicModel(num_topics=num_topics or 50)
     tm.load(base + "_model.pkl")
 
-    docs = load_documents_from_file(
-        os.path.join(data_root, "text_dataset", "clean_corpus", f"{dataset}.txt")
-    )
-    theta = tm.get_document_topic_distribution(docs)
+    # theta: prefer the build-stage cache over re-running LDA inference.
+    # The reference re-infers at train time (trainer.py:179); the E-step is
+    # deterministic on the same model+corpus so the cached values are
+    # identical — the cache just skips ~2 min of recompute per run. Stale
+    # caches (older than the model pickle, or wrong shape) are ignored.
+    theta = None
+    theta_path = base + "_theta.npy"
+    if os.path.exists(theta_path) and os.path.getmtime(
+        theta_path
+    ) >= os.path.getmtime(base + "_model.pkl"):
+        cached = np.load(theta_path)
+        if cached.shape == (labels.n_docs, tm.num_topics):
+            theta = np.asarray(cached, dtype=np.float64)
+    if theta is None:
+        docs = load_documents_from_file(
+            os.path.join(
+                data_root, "text_dataset", "clean_corpus", f"{dataset}.txt"
+            )
+        )
+        theta = tm.get_document_topic_distribution(docs)
+        try:
+            np.save(theta_path, theta)
+        except OSError:
+            pass  # read-only artifact dir: recompute next time
     if tm.topic_embeddings is None:
         tm.get_topic_embeddings(top_n=20)
     features = build_topic_features(theta, tm.topic_embeddings)
