@@ -206,7 +206,10 @@ def main() -> int:
         seeds=[7, 42, 1234],
         data_root="data",
         output_dir="results",
-        config=TrainConfig(),
+        # segment for the accuracy metric: bitwise-reproduces the r01
+        # number (94.75 max) — dense/hybrid accuracy equivalence and kernel
+        # perf are covered by the perf section below and the test suite
+        config=TrainConfig(spmm="segment"),
         pre_data=pre,
         verbose=False,
     )

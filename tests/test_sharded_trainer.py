@@ -159,3 +159,50 @@ def test_sharded_identity_matches_single_device_loss():
     want = float(-jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1)))
     got = sh.history[0]["train_loss"]
     assert abs(got - want) < 1e-3, (got, want)
+
+
+def test_sharded_checkpoint_roundtrip_and_cross_restore(tmp_path):
+    """ShardedTrainer.save → (a) reload into a DIFFERENT mesh size and (b)
+    restore into the single-device Trainer; test metrics must match."""
+    from textgcn_tpu.train.trainer import Trainer
+
+    g, x, target, tr, te, C = _data(seed=17)
+    cfg = TrainConfig(n_hidden=8, max_epoch=6, early_stopping=6, dropout=0.0,
+                      seed=9)
+    t4 = ShardedTrainer(g, x, target, tr, te, C, config=cfg, n_shards=4)
+    t4.fit(verbose=False)
+    want = t4.test()
+    path = str(tmp_path / "ck")
+    t4.save(path)
+
+    # (a) different mesh size
+    t2 = ShardedTrainer(g, x, target, tr, te, C, config=cfg, n_shards=2)
+    t2.load(path)
+    got2 = t2.evaluate(t2.test_mask)
+    assert abs(got2["acc"] - want["acc"]) < 1e-6
+    assert abs(got2["macro_f1"] - want["macro_f1"]) < 1e-5
+
+    # (b) single-device Trainer
+    ts = Trainer(g, x, target, tr, te, C, config=cfg)
+    ts.load(path)
+    got1 = ts.evaluate(ts.test_idx, prefix="test")
+    assert abs(got1["acc"] - want["acc"]) < 1e-6
+
+
+def test_sharded_identity_checkpoint_roundtrip(tmp_path):
+    """Identity-feature (row-sharded W1 table) checkpoints restore onto a
+    different mesh size with identical test metrics."""
+    g, x, target, tr, te, C = _data(seed=19)
+    cfg = TrainConfig(n_hidden=8, max_epoch=5, early_stopping=5, dropout=0.0,
+                      seed=1)
+    t4 = ShardedTrainer(g, None, target, tr, te, C, config=cfg, n_shards=4)
+    t4.fit(verbose=False)
+    want = t4.test()
+    path = str(tmp_path / "ck")
+    t4.save(path)
+
+    t8 = ShardedTrainer(g, None, target, tr, te, C, config=cfg, n_shards=8)
+    t8.load(path)
+    got = t8.evaluate(t8.test_mask)
+    assert abs(got["acc"] - want["acc"]) < 1e-6, (got, want)
+    assert abs(got["macro_f1"] - want["macro_f1"]) < 1e-5

@@ -264,6 +264,63 @@ class ShardedTrainer:
         out["model_param"] = self.model_param
         return out
 
+    def save(self, path: str) -> str:
+        """Orbax checkpoint of the trained params (mesh-independent).
+
+        Params are pulled to host numpy first — replicated leaves
+        trivially, the identity-feature W1 table by gathering its shards
+        (fully addressable on a single-process mesh) — so the checkpoint
+        can be restored onto ANY mesh size, or by the single-device
+        :class:`textgcn_tpu.train.trainer.Trainer`.
+        """
+        from textgcn_tpu.train.checkpoint import save_checkpoint
+
+        if self.params is None:
+            raise ValueError("fit() first")
+        host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        return save_checkpoint(
+            path,
+            host_params,
+            metadata={
+                "epochs_run": len(self.history),
+                "seed": self.cfg.seed,
+                "n_shards": self.n_shards,
+                "partition": {"halo": 0, "allgather": 1}[self.partition],
+            },
+        )
+
+    def load(self, path: str) -> None:
+        """Restore params from a checkpoint saved by either trainer.
+
+        Re-applies this mesh's shardings: the identity-feature W1 table
+        (first-dim n_pad) goes back to P("nodes", None); everything else
+        replicates on first use under jit. A single-device checkpoint's
+        [n_nodes, H] table is padded up to this mesh's n_pad.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from textgcn_tpu.train.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(path)["params"]
+        w1 = np.asarray(params["gc1"]["w"])
+        if self.x is None:
+            # identity-feature table: pad to n_pad and row-shard
+            if w1.shape[0] < self.n_pad:
+                w1 = np.concatenate(
+                    [w1, np.zeros((self.n_pad - w1.shape[0], w1.shape[1]),
+                                  dtype=w1.dtype)]
+                )
+            elif w1.shape[0] > self.n_pad:
+                raise ValueError(
+                    f"checkpoint W1 has {w1.shape[0]} rows > this mesh's "
+                    f"padded node count {self.n_pad}"
+                )
+            sx = NamedSharding(self.mesh, P(AXIS, None))
+            params["gc1"]["w"] = jax.device_put(w1, sx)
+        self.params = params
+        _, _, eval_step = self._build_steps()
+        self._eval_step = eval_step
+
 
 def run_sharded_experiment(
     graph: SparseGraph,

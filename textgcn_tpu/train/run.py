@@ -60,11 +60,6 @@ def run_experiment(
     partitioned Â and features, ``partition`` = "halo" ppermute ring or
     "allgather"), with identical train/val/early-stop/test semantics.
     """
-    if save_model and n_shards is not None:
-        raise ValueError(
-            "--save_model with --shards is not supported yet: sharded "
-            "params are replicated, save from a single-device run instead"
-        )
     if n_shards is not None and config.spmm not in ("auto", "segment"):
         raise ValueError(
             "--spmm kernel formats apply to single-device training; the "
