@@ -116,6 +116,11 @@ def docword_perf(dataset: str = "R8") -> dict:
     pre = prepare_docword_data(dataset, data_root="data")
     seg = time_train_epochs(pre, "segment")
     hyb = time_train_epochs(pre, "hybrid")
+    # the speed-of-light reference for random-sparsity SpMM on this chip:
+    # the measured single-sided random-row gather rate (gather_probe.py).
+    # edges/s beyond the wall is only reachable by NOT gathering randomly —
+    # which is exactly what the hybrid kernel's MXU tiles do.
+    gather_wall = (60e6, 130e6)
     out = {
         "graph": f"{dataset}_docword",
         "n_nodes": pre.n_nodes,
@@ -123,6 +128,8 @@ def docword_perf(dataset: str = "R8") -> dict:
         "segment": seg,
         "hybrid": hyb,
         "speedup": seg["epoch_ms"] / hyb["epoch_ms"],
+        "gather_wall_rows_per_s": list(gather_wall),
+        "hybrid_vs_upper_gather_wall": hyb["edges_per_s"] / gather_wall[1],
     }
     log(
         f"[bench] {dataset} docword perf: segment {seg['epoch_ms']:.1f} "

@@ -244,3 +244,49 @@ def test_gcn_edge_forward_trains_edge_weights():
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.05, losses
     assert float(jnp.max(jnp.abs(params["edge_logit"]))) > 1e-4
+
+
+def test_spmm_streamed_sym_gradient_matches_dense():
+    """The symmetric streamed SpMM's x-gradient (a second streamed pass)
+    must equal dense autodiff on a symmetrized replayed stream."""
+    import sys, os
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks")
+    )
+    from synthetic_large import make_random_edge_fn
+
+    from textgcn_tpu.ops.spmm import spmm_streamed_sym
+
+    n, chunk_e, n_chunks, f = 64, 128, 2, 5
+    base = make_random_edge_fn(n, chunk_e, seed=21)
+
+    def edge_fn(i):
+        # chunks (2k, 2k+1) are the two directions of base chunk k, so the
+        # streamed matrix is symmetric by construction
+        r, c, v = base(i // 2)
+        return (
+            jnp.where(i % 2 == 0, r, c),
+            jnp.where(i % 2 == 0, c, r),
+            v,
+        )
+
+    x = np.random.RandomState(2).randn(n, f).astype(np.float32)
+    w = np.random.RandomState(3).randn(n, f).astype(np.float32)
+
+    def f_stream(xx):
+        return jnp.sum(spmm_streamed_sym(edge_fn, xx, n, 2 * n_chunks) * w)
+
+    a = np.zeros((n, n), dtype=np.float64)
+    for i in range(2 * n_chunks):
+        r, c, v = (np.asarray(t) for t in edge_fn(i))
+        np.add.at(a, (r, c), v)
+    np.testing.assert_allclose(a, a.T)  # stream really is symmetric
+
+    def f_dense(xx):
+        return jnp.sum((jnp.asarray(a.astype(np.float32)) @ xx) * w)
+
+    gs = jax.grad(f_stream)(jnp.asarray(x))
+    gd = jax.grad(f_dense)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=1e-4, atol=1e-4)

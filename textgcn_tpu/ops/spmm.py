@@ -273,6 +273,43 @@ def spmm_streamed(
     return jax.lax.fori_loop(0, n_chunks, body, acc)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
+def spmm_streamed_sym(
+    edge_fn,
+    x: jnp.ndarray,
+    n_nodes: int,
+    n_chunks: int,
+) -> jnp.ndarray:
+    """:func:`spmm_streamed` for SYMMETRIC Â, differentiable in ``x``.
+
+    Normalized GCN adjacencies are symmetric (Â = ÂT), so the backward
+    ``ÂT @ g`` is just another streamed pass over the SAME edge stream —
+    no transpose materialization, no stored [E, F] residuals. This makes
+    beyond-HBM graphs *trainable*, not just inferable: the edge list never
+    exists on device in either direction of autodiff.
+
+    Caller asserts symmetry: ``edge_fn`` must enumerate both (u, v) and
+    (v, u) (or equivalently the stream's scatter/gather roles must be
+    exchangeable). For directed graphs use :func:`spmm_streamed` under
+    ``jax.lax.stop_gradient`` or provide a transposed stream by hand.
+    """
+    return spmm_streamed(edge_fn, x, n_nodes, n_chunks)
+
+
+def _spmm_streamed_sym_fwd(edge_fn, x, n_nodes, n_chunks):
+    # residual is a REFERENCE to x (no copy; x is resident anyway) — only
+    # its dtype is needed to type the cotangent
+    return spmm_streamed(edge_fn, x, n_nodes, n_chunks), x
+
+
+def _spmm_streamed_sym_bwd(edge_fn, n_nodes, n_chunks, x_res, g):
+    dx = spmm_streamed(edge_fn, g.astype(x_res.dtype), n_nodes, n_chunks)
+    return (dx.astype(x_res.dtype),)
+
+
+spmm_streamed_sym.defvjp(_spmm_streamed_sym_fwd, _spmm_streamed_sym_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def spmm_bsr_ad(
     graph: BlockSparseGraph,
