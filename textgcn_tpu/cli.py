@@ -80,6 +80,7 @@ def cmd_train(args) -> int:
         early_stopping=args.early_stopping,
         val_ratio=args.val_ratio,
         spmm=args.spmm,
+        model=args.model,
     )
     pre_data = None
     if args.graph == "docword":
@@ -96,6 +97,7 @@ def cmd_train(args) -> int:
             data_root=args.data_root,
             pre_data=pre_data,
             spmm=args.spmm,
+            model=args.model,
         )
         print(
             f"{args.dataset} (checkpoint {args.load_model}): "
@@ -215,6 +217,14 @@ def main(argv=None) -> int:
         default=None,
         help="restore an Orbax checkpoint and evaluate on the test split "
         "(skips training)",
+    )
+    p.add_argument(
+        "--model",
+        default="gcn",
+        choices=["gcn", "gat"],
+        help="model family: gcn (fixed normalized adjacency) or gat "
+        "(per-edge attention via weighted segment softmax; requires "
+        "--spmm segment)",
     )
     p.add_argument(
         "--shards",

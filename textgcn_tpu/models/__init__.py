@@ -1,1 +1,12 @@
 from textgcn_tpu.models.gcn import GCN, gcn_init, gcn_forward  # noqa: F401
+from textgcn_tpu.models.gat import gat_init, gat_forward  # noqa: F401
+
+# Model-family registry: name -> (init, forward) with the uniform
+# signatures init(key, n_feat, n_hidden, n_class) and
+# forward(params, graph, x, *, dropout, train, rng). The trainer passes
+# `forward` into its jitted steps as a static argument, so adding a family
+# here makes it trainable end-to-end (TrainConfig.model / cli --model).
+MODELS = {
+    "gcn": (gcn_init, gcn_forward),
+    "gat": (gat_init, gat_forward),
+}

@@ -1,0 +1,130 @@
+"""Two-layer Graph Attention Network (GAT), TPU-idiomatic.
+
+A second model family beyond the reference's fixed-Â GCN (the reference has
+exactly one model, reference layer.py:143-190). Attention is built from the
+framework's own sparse primitives — no new kernels:
+
+- per-edge logits  ``e = LeakyReLU(a_src·h_row + a_dst·h_col) + log(val)``:
+  two dense [N, H] @ [H] projections plus two masked-fill gathers. Folding
+  the (sym-normalized) adjacency weight in as ``log(val)`` makes the
+  attention a *weighted* softmax — and padding edges, whose ``val`` is 0,
+  get ``-inf`` logits and vanish from the softmax with no explicit mask;
+- row-wise segment softmax over incoming edges (``segment_max`` /
+  ``segment_sum`` on the row-sorted COO);
+- aggregation through :func:`textgcn_tpu.ops.spmm.spmm_coo_segment_ew`,
+  the edge-differentiable SpMM whose val-VJP is an SDDMM pass — exactly
+  the machinery attention training needs.
+
+``x=None`` selects identity features (doc-word graphs): layer 1's ``h`` is
+the weight table itself, as in :func:`textgcn_tpu.models.gcn.gcn_forward`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from textgcn_tpu.graph.structs import SparseGraph
+from textgcn_tpu.models.gcn import _init_layer
+from textgcn_tpu.ops.spmm import spmm_coo_segment_ew
+
+Params = Dict[str, Any]
+
+
+def segment_softmax(
+    logits: jnp.ndarray,
+    row: jnp.ndarray,
+    n_nodes: int,
+) -> jnp.ndarray:
+    """Softmax of per-edge ``logits`` over edges sharing a row.
+
+    ``row`` may contain the phantom id ``n_nodes`` (padding); those edges
+    form their own segment and never touch real rows. Max-subtraction for
+    stability; all-(-inf) segments (isolated rows / padding with -inf
+    logits) produce 0, not NaN.
+    """
+    mx = jax.ops.segment_max(
+        logits, row, num_segments=n_nodes + 1, indices_are_sorted=True
+    )
+    # rows with no edges have -inf max; keep the subtraction finite
+    shifted = logits - jnp.where(jnp.isfinite(mx), mx, 0.0)[row]
+    expd = jnp.where(jnp.isfinite(logits), jnp.exp(shifted), 0.0)
+    denom = jax.ops.segment_sum(
+        expd, row, num_segments=n_nodes + 1, indices_are_sorted=True
+    )
+    return expd / jnp.maximum(denom[row], 1e-30)
+
+
+def _gat_layer_params(key, n_in, n_out):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = _init_layer(k1, n_in, n_out)  # w + b, reference ±1/√out init
+    s = 1.0 / jnp.sqrt(jnp.asarray(n_out, dtype=jnp.float32))
+    p["a_src"] = jax.random.uniform(k2, (n_out,), jnp.float32, -s, s)
+    p["a_dst"] = jax.random.uniform(k3, (n_out,), jnp.float32, -s, s)
+    return p
+
+
+def gat_init(
+    key: jax.Array,
+    n_feat: int,
+    n_hidden: int,
+    n_class: int,
+) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "gat1": _gat_layer_params(k1, n_feat, n_hidden),
+        "gat2": _gat_layer_params(k2, n_hidden, n_class),
+    }
+
+
+def gat_layer(
+    p: Params,
+    graph: SparseGraph,
+    x: Optional[jnp.ndarray],
+    *,
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """One attention layer: softmax-weighted neighborhood aggregation."""
+    h = (
+        p["w"]
+        if x is None
+        else jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    )
+    es = jnp.dot(h, p["a_src"], preferred_element_type=jnp.float32)
+    ed = jnp.dot(h, p["a_dst"], preferred_element_type=jnp.float32)
+    gs = jnp.take(es, graph.row, mode="fill", fill_value=0.0)
+    gd = jnp.take(ed, graph.col, mode="fill", fill_value=0.0)
+    e = jax.nn.leaky_relu(gs + gd, negative_slope)
+    # weighted softmax: padding edges have val == 0 → log → -inf → weight 0
+    e = e + jnp.log(graph.val)
+    att = segment_softmax(e, graph.row, graph.n_nodes)
+    out = spmm_coo_segment_ew(
+        graph.row, graph.col, att, h, graph.n_nodes, True
+    )
+    return out + p["b"]
+
+
+def gat_forward(
+    params: Params,
+    graph: SparseGraph,
+    x: Optional[jnp.ndarray],
+    *,
+    dropout: float = 0.5,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Logits for all nodes: gat2(dropout(relu(gat1(x))))."""
+    if not isinstance(graph, SparseGraph):
+        raise TypeError(
+            "GAT needs the row-sorted COO SparseGraph (attention softmax "
+            "runs over the edge stream); use spmm format 'segment', got "
+            f"{type(graph).__name__}"
+        )
+    h = gat_layer(params["gat1"], graph, x)
+    h = jax.nn.relu(h)
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+    return gat_layer(params["gat2"], graph, h)

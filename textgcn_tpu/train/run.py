@@ -60,16 +60,28 @@ def run_experiment(
     partitioned Â and features, ``partition`` = "halo" ppermute ring or
     "allgather"), with identical train/val/early-stop/test semantics.
     """
+    if n_shards is not None and getattr(config, "model", "gcn") != "gcn":
+        raise ValueError(
+            "sharded training currently supports the gcn family only"
+        )
     if n_shards is not None and config.spmm not in ("auto", "segment"):
         raise ValueError(
             "--spmm kernel formats apply to single-device training; the "
             "sharded path picks its own per-shard layout (halo/allgather)"
         )
+    if getattr(config, "model", "gcn") == "gat" and config.spmm not in (
+        "auto",
+        "segment",
+    ):
+        raise ValueError(
+            "GAT's attention softmax runs over the COO edge stream; use "
+            "--spmm segment (or auto) with --model gat"
+        )
     if pre_data is None:
         pre_data = prepare_topic_data(dataset, data_root=data_root)
     from textgcn_tpu.train.prepare import apply_spmm_format
 
-    if n_shards is None:
+    if n_shards is None and getattr(config, "model", "gcn") == "gcn":
         pre_data = apply_spmm_format(pre_data, config.spmm)
     seeds = seeds or generate_seeds(times)
 
@@ -153,6 +165,7 @@ def evaluate_checkpoint(
     data_root: str = "data",
     pre_data: Optional[PreparedData] = None,
     spmm: str = "auto",
+    model: str = "gcn",
 ) -> Dict[str, float]:
     """Restore params from an Orbax checkpoint and evaluate on the test split
     (the ``--load_model`` CLI path)."""
@@ -166,7 +179,8 @@ def evaluate_checkpoint(
             pre_data = prepare_docword_data(dataset, data_root=data_root)
         else:
             pre_data = prepare_topic_data(dataset, data_root=data_root)
-    pre_data = apply_spmm_format(pre_data, spmm)
+    if model == "gcn":
+        pre_data = apply_spmm_format(pre_data, spmm)
     trainer = Trainer(
         pre_data.graph,
         pre_data.features,
@@ -174,6 +188,7 @@ def evaluate_checkpoint(
         pre_data.labels.train_idx,
         pre_data.labels.test_idx,
         pre_data.labels.n_classes,
+        config=TrainConfig(model=model),
     )
     trainer.load(checkpoint_path)
     return trainer.evaluate(trainer.test_idx, prefix="test")

@@ -50,6 +50,10 @@ class TrainConfig:
     # auto | segment | dense | bsr | onehot | hybrid. Applied by
     # run_experiment via apply_spmm_format before the Trainer is built.
     spmm: str = "auto"
+    # model family (textgcn_tpu.models.MODELS): gcn | gat. GAT runs its
+    # attention softmax over the COO edge stream, so it requires the
+    # segment graph format.
+    model: str = "gcn"
 
 
 class EarlyStopping:
@@ -97,9 +101,9 @@ def _adam(lr: float = 0.02):
     return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
 
 
-@partial(jax.jit, static_argnames=("num_classes",))
-def _eval_step(params, graph, x, y, idx, num_classes):
-    logits = gcn_forward(params, graph, x, train=False)
+@partial(jax.jit, static_argnames=("num_classes", "forward"))
+def _eval_step(params, graph, x, y, idx, num_classes, forward=gcn_forward):
+    logits = forward(params, graph, x, train=False)
     sl = logits[idx]
     st = y[idx]
     loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(sl, st))
@@ -110,11 +114,12 @@ def _eval_step(params, graph, x, y, idx, num_classes):
 
 @partial(
     jax.jit,
-    static_argnames=("dropout", "num_classes"),
+    static_argnames=("dropout", "num_classes", "forward"),
     donate_argnums=(0, 1),
 )
 def _train_block(
-    params, opt_state, rngs, graph, x, y, train_idx, val_idx, num_classes, dropout
+    params, opt_state, rngs, graph, x, y, train_idx, val_idx, num_classes,
+    dropout, forward=gcn_forward,
 ):
     """Run ``len(rngs)`` epochs in ONE device dispatch via ``lax.scan``.
 
@@ -130,7 +135,7 @@ def _train_block(
         params, opt_state = carry
 
         def loss_fn(p):
-            logits = gcn_forward(
+            logits = forward(
                 p, graph, x, dropout=dropout, train=True, rng=rng
             )
             tl = logits[train_idx]
@@ -144,7 +149,7 @@ def _train_block(
         updates, opt_state = _adam().update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
-        logits = gcn_forward(params, graph, x, train=False)
+        logits = forward(params, graph, x, train=False)
         sl = logits[val_idx]
         st = y[val_idx]
         vloss = jnp.mean(
@@ -200,7 +205,8 @@ class Trainer:
         n_feat = (
             self.graph.n_nodes if self.x is None else self.x.shape[1]
         )
-        params = gcn_init(
+        init_fn, self._forward = self._model_fns()
+        params = init_fn(
             init_key, n_feat, cfg.n_hidden, self.num_classes
         )
         self.model_param = sum(
@@ -236,6 +242,7 @@ class Trainer:
                 val_idx,
                 self.num_classes,
                 cfg.dropout,
+                self._forward,
             )
             s_params, tloss, vloss, vacc, vf1, vp, vr = outs
             tloss, vloss, vacc, vf1, vp, vr = (
@@ -278,9 +285,28 @@ class Trainer:
         self.params = best_params if cfg.restore_best else params
         return {"epochs_run": len(self.history), "train_time": self.train_time}
 
+    def _model_fns(self):
+        from textgcn_tpu.models import MODELS
+
+        model = getattr(self.cfg, "model", "gcn")
+        if model not in MODELS:
+            raise ValueError(
+                f"unknown model {model!r}; choose one of {sorted(MODELS)}"
+            )
+        from textgcn_tpu.graph.structs import SparseGraph
+
+        if model == "gat" and not isinstance(self.graph, SparseGraph):
+            raise ValueError(
+                "GAT requires the segment (COO) graph format — run with "
+                "spmm='segment' so the attention softmax sees the edge "
+                "stream"
+            )
+        return MODELS[model]
+
     def evaluate(self, idx: jnp.ndarray, prefix: str = "test") -> Dict[str, float]:
         loss, acc, f1, p, r = _eval_step(
-            self.params, self.graph, self.x, self.y, idx, self.num_classes
+            self.params, self.graph, self.x, self.y, idx, self.num_classes,
+            self._model_fns()[1],
         )
         return {
             f"{prefix}_loss": float(loss),
