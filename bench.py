@@ -207,16 +207,18 @@ def main() -> int:
         f"[bench] R8 graph: {pre.n_nodes} nodes, "
         f"{pre.graph.n_edges} edges, feat dim {pre.n_feat}"
     )
+    # 5 fixed seeds per family (the reference reports a single run;
+    # BASELINE's own mr config is 5-seed). epoch_block=25 cuts host->device
+    # dispatches 2.5x — numerically identical by design (block-invariance
+    # is test-pinned) and robust to high-latency tunnel days.
+    seeds = [7, 42, 1234, 31415, 2718]
     summary = run_experiment(
         "R8",
-        times=3,
-        seeds=[7, 42, 1234],
+        times=len(seeds),
+        seeds=seeds,
         data_root="data",
         output_dir="results",
-        # segment for the accuracy metric: bitwise-reproduces the r01
-        # number (94.75 max) — dense/hybrid accuracy equivalence and kernel
-        # perf are covered by the perf section below and the test suite
-        config=TrainConfig(spmm="segment"),
+        config=TrainConfig(spmm="segment", epoch_block=25),
         pre_data=pre,
         verbose=False,
     )
@@ -231,12 +233,12 @@ def main() -> int:
     try:
         gat_summary = run_experiment(
             "R8",
-            times=3,
-            seeds=[7, 42, 1234],
+            times=len(seeds),
+            seeds=seeds,
             graph_family="topic_gat",  # distinct report filename
             data_root="data",
             output_dir="results",
-            config=TrainConfig(model="gat", spmm="segment"),
+            config=TrainConfig(model="gat", spmm="segment", epoch_block=25),
             pre_data=pre,
             verbose=False,
         )

@@ -198,3 +198,30 @@ def test_sharded_rejects_kernel_format_flag(tiny_root):
         run_experiment("tiny", n_shards=2, config=__import__(
             "textgcn_tpu.train.trainer", fromlist=["TrainConfig"]
         ).TrainConfig(spmm="hybrid"))
+
+
+def test_theta_cache_is_bit_identical_to_reinference(tiny_root):
+    """prepare_topic_data must produce the SAME features whether theta comes
+    from the build-stage cache or from re-running LDA inference — any dtype
+    or value drift would silently shift training trajectories."""
+    import os
+
+    from textgcn_tpu.graph.build_topic import TopicGraphBuilder
+    from textgcn_tpu.train.prepare import prepare_topic_data
+
+    b = TopicGraphBuilder(
+        "tiny", num_topics=4, min_df=1, max_df=1.0, lda_max_iter=8,
+        data_root="data", verbose=False,
+    )
+    b.build()
+    b.save()
+    theta_path = "data/graph/tiny_topic_theta.npy"
+    assert os.path.exists(theta_path)  # build stage wrote the cache
+
+    cached = prepare_topic_data("tiny", data_root="data", num_topics=4)
+    os.remove(theta_path)
+    recomputed = prepare_topic_data("tiny", data_root="data", num_topics=4)
+    assert cached.features.dtype == recomputed.features.dtype
+    np.testing.assert_array_equal(cached.features, recomputed.features)
+    # prepare rewrites the cache after re-inference (stage artifact)
+    assert os.path.exists(theta_path)

@@ -129,6 +129,7 @@ def run_experiment_config(config_path: str) -> int:
             early_stopping=train_cfg.get("early_stopping", 10),
             val_ratio=train_cfg.get("val_ratio", 0.1),
             spmm=train_cfg.get("spmm", "auto"),
+            model=train_cfg.get("model", "gcn"),
         )
         pre = None
         if family == "docword":

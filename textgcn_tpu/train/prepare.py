@@ -204,7 +204,10 @@ def prepare_topic_data(
     ) >= os.path.getmtime(base + "_model.pkl"):
         cached = np.load(theta_path)
         if cached.shape == (labels.n_docs, tm.num_topics):
-            theta = np.asarray(cached, dtype=np.float64)
+            # keep the saved dtype (float32 from the JAX E-step): casting
+            # up would perturb feature arithmetic vs the uncached path and
+            # shift training trajectories off the recorded seeds
+            theta = cached
     if theta is None:
         docs = load_documents_from_file(
             os.path.join(
