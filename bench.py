@@ -228,9 +228,14 @@ def main() -> int:
         f"max={acc_gcn:.2f} train_time_mean={summary['train_time']['mean']:.1f}s"
     )
     # second model family on the same topic graph: GAT (per-edge attention
-    # via weighted segment softmax) — typically the best R8 number
+    # via weighted segment softmax) — typically the best R8 number.
+    # Guarded by a wall-clock budget: on badly degraded tunnel days the
+    # GCN phase alone can take 10 min, and the headline JSON must reach
+    # stdout before any driver-side timeout.
     acc = acc_gcn
     try:
+        if time.time() - t0 > 900:
+            raise TimeoutError("wall-clock budget spent in the GCN phase")
         gat_summary = run_experiment(
             "R8",
             times=len(seeds),
@@ -250,7 +255,7 @@ def main() -> int:
         )
         acc = max(acc, acc_gat)
     except Exception as e:
-        log(f"[bench] GAT section failed: {e!r}")
+        log(f"[bench] GAT section skipped: {e!r}")
     log(f"[bench] total_bench_time={time.time() - t0:.0f}s")
 
     # the ONE stdout JSON line goes out BEFORE the secondary perf phases:
