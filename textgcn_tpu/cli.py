@@ -221,10 +221,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--model",
         default="gcn",
-        choices=["gcn", "gat"],
-        help="model family: gcn (fixed normalized adjacency) or gat "
+        choices=["gcn", "gat", "sgc", "appnp"],
+        help="model family: gcn (fixed normalized adjacency), gat "
         "(per-edge attention via weighted segment softmax; requires "
-        "--spmm segment)",
+        "--spmm segment), sgc (linear A^2XW classifier), appnp "
+        "(MLP + 10-step personalized-PageRank propagation)",
     )
     p.add_argument(
         "--shards",

@@ -1,5 +1,12 @@
 from textgcn_tpu.models.gcn import GCN, gcn_init, gcn_forward  # noqa: F401
 from textgcn_tpu.models.gat import gat_init, gat_forward  # noqa: F401
+from textgcn_tpu.models.sgc import (  # noqa: F401
+    sgc_init,
+    sgc_forward,
+    sgc_precompute,
+    sgc_pre_forward,
+)
+from textgcn_tpu.models.appnp import appnp_init, appnp_forward  # noqa: F401
 
 # Model-family registry: name -> (init, forward) with the uniform
 # signatures init(key, n_feat, n_hidden, n_class) and
@@ -9,4 +16,9 @@ from textgcn_tpu.models.gat import gat_init, gat_forward  # noqa: F401
 MODELS = {
     "gcn": (gcn_init, gcn_forward),
     "gat": (gat_init, gat_forward),
+    "sgc": (sgc_init, sgc_forward),
+    # linear head over features already propagated with sgc_precompute —
+    # the compiled train step is gather-free
+    "sgc_pre": (sgc_init, sgc_pre_forward),
+    "appnp": (appnp_init, appnp_forward),
 }

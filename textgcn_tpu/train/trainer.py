@@ -50,9 +50,10 @@ class TrainConfig:
     # auto | segment | dense | bsr | onehot | hybrid. Applied by
     # run_experiment via apply_spmm_format before the Trainer is built.
     spmm: str = "auto"
-    # model family (textgcn_tpu.models.MODELS): gcn | gat. GAT runs its
-    # attention softmax over the COO edge stream, so it requires the
-    # segment graph format.
+    # model family (textgcn_tpu.models.MODELS): gcn | gat | sgc | sgc_pre |
+    # appnp. GAT runs its attention softmax over the COO edge stream, so it
+    # requires the segment graph format; the others train through any SpMM
+    # format.
     model: str = "gcn"
 
 

@@ -37,7 +37,7 @@ class TrainSection:
     epoch_block: int = 10
     # SpMM kernel/graph format: auto | segment | dense | bsr | onehot | hybrid
     spmm: str = "auto"
-    # model family (textgcn_tpu.models.MODELS): gcn | gat
+    # model family (textgcn_tpu.models.MODELS): gcn | gat | sgc | appnp
     model: str = "gcn"
     # sharded training: mesh size (None = single device) and aggregation
     # layout (halo ppermute ring | allgather)
