@@ -50,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "group_rows", "group_cols"],
-    meta_fields=["n_nodes", "bm", "bn", "group", "n_block_rows"],
+    meta_fields=["n_nodes", "bm", "bn", "group", "n_block_rows", "n_edges"],
 )
 @dataclasses.dataclass(frozen=True)
 class GroupedBSR:
@@ -63,41 +63,77 @@ class GroupedBSR:
     bn: int
     group: int
     n_block_rows: int
+    n_edges: int = 0  # real nnz carried by the tiles (for edges/s reporting)
+
+
+def _row_tile_counts(rows):
+    """(row_start_indices, counts) for an ascending block-row array."""
+    import numpy as np
+
+    t = len(rows)
+    change = np.r_[True, rows[1:] != rows[:-1]]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.r_[starts, t])
+    return starts, counts
+
+
+def choose_group(g: BlockSparseGraph, max_pad_frac: float = 0.25) -> int:
+    """Largest group in {8, 4, 2, 1} whose zero-tile padding stays under
+    ``max_pad_frac`` of the real tile count.
+
+    Grouping packs each block-row's tile list to a multiple of G with zero
+    tiles; rows with few tiles (tiny graphs, topic-graph Â) would pay up to
+    Gx wasted MXU work, so the group size must follow the row-occupancy
+    distribution rather than being a constant.
+    """
+    import numpy as np
+
+    rows = np.asarray(g.block_rows)
+    if len(rows) == 0:
+        return 1
+    _, counts = _row_tile_counts(rows)
+    t = counts.sum()
+    for grp in (8, 4, 2):
+        padded = (-(-counts // grp) * grp).sum()
+        if padded - t <= max_pad_frac * t:
+            return grp
+    return 1
 
 
 def pack_groups(g: BlockSparseGraph, group: int = 4) -> GroupedBSR:
-    """Host-side packing of a BlockSparseGraph into row-uniform groups."""
+    """Pack a BlockSparseGraph into row-uniform groups (host-side, O(T))."""
     import numpy as np
 
     blocks = np.asarray(g.blocks)
     rows = np.asarray(g.block_rows)
     cols = np.asarray(g.block_cols)
-    out_blocks = []
-    out_rows = []
-    out_cols = []
-    zero_tile = np.zeros((g.bm, g.bn), dtype=blocks.dtype)
-    for r in np.unique(rows):
-        sel = np.nonzero(rows == r)[0]
-        pad = (-len(sel)) % group
-        tiles = [blocks[i] for i in sel] + [zero_tile] * pad
-        tcols = list(cols[sel]) + [0] * pad
-        for lo in range(0, len(tiles), group):
-            out_blocks.append(
-                np.concatenate(tiles[lo : lo + group], axis=1)
-            )
-            out_rows.append(r)
-            out_cols.append(tcols[lo : lo + group])
+    t = len(rows)
+    starts, counts = _row_tile_counts(rows)
+    pos_in_row = np.arange(t) - np.repeat(starts, counts)
+    groups_per_row = -(-counts // group)
+    total_groups = int(groups_per_row.sum())
+    first_group_of_row = np.r_[0, np.cumsum(groups_per_row)[:-1]]
+    gid = np.repeat(first_group_of_row, counts) + pos_in_row // group
+    slot = pos_in_row % group
+    # tile k of a group occupies columns [k*bn, (k+1)*bn) of the packed block
+    out4 = np.zeros((total_groups, group, g.bm, g.bn), dtype=blocks.dtype)
+    out4[gid, slot] = blocks
+    out_blocks = np.ascontiguousarray(out4.transpose(0, 2, 1, 3)).reshape(
+        total_groups, g.bm, group * g.bn
+    )
+    out_cols = np.zeros(total_groups * group, dtype=np.int32)
+    out_cols[gid * group + slot] = cols
+    out_rows = np.repeat(rows[starts], groups_per_row).astype(np.int32)
     return GroupedBSR(
-        blocks=jnp.asarray(np.stack(out_blocks)),
-        group_rows=jnp.asarray(np.asarray(out_rows, dtype=np.int32)),
-        group_cols=jnp.asarray(
-            np.asarray(out_cols, dtype=np.int32).reshape(-1)
-        ),
+        blocks=jnp.asarray(out_blocks),
+        group_rows=jnp.asarray(out_rows),
+        group_cols=jnp.asarray(out_cols),
         n_nodes=g.n_nodes,
         bm=g.bm,
         bn=g.bn,
         group=group,
         n_block_rows=g.n_block_rows,
+        n_edges=g.n_edges,
     )
 
 
