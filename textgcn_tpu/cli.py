@@ -88,6 +88,23 @@ def cmd_train(args) -> int:
         from textgcn_tpu.train.prepare import prepare_docword_data
 
         pre_data = prepare_docword_data(args.dataset, data_root=args.data_root)
+    if args.resume:
+        from textgcn_tpu.train.run import resume_training
+
+        summary = resume_training(
+            args.dataset,
+            args.resume,
+            graph_family=args.graph,
+            data_root=args.data_root,
+            output_dir=args.output_dir,
+            config=cfg,
+            pre_data=pre_data,
+            verbose=not args.quiet,
+            save_model=args.save_state,
+        )
+        acc = summary["test_accuracy"]["mean"]
+        print(f"{args.dataset} (resumed): acc={acc:.4f}")
+        return 0
     if args.load_model:
         from textgcn_tpu.train.run import evaluate_checkpoint
 
@@ -124,6 +141,7 @@ def cmd_train(args) -> int:
             pre_data=pre_data,
             verbose=not args.quiet,
             save_model=args.save_model,
+            save_state=args.save_state,
             n_shards=args.shards,
             partition=args.partition,
         )
@@ -226,6 +244,21 @@ def main(argv=None) -> int:
         default=None,
         help="restore an Orbax checkpoint and evaluate on the test split "
         "(skips training)",
+    )
+    p.add_argument(
+        "--save_state",
+        default=None,
+        metavar="DIR",
+        help="after training, save the best run's RESUMABLE state (params "
+        "+ Adam moments + epoch/early-stop counters) to DIR",
+    )
+    p.add_argument(
+        "--resume",
+        default=None,
+        metavar="DIR",
+        help="continue an interrupted run from a --save_state checkpoint "
+        "(seed and dropout-key stream are restored from it; the resumed "
+        "trajectory is bit-identical to an uninterrupted run)",
     )
     p.add_argument(
         "--model",

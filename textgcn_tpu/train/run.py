@@ -46,6 +46,7 @@ def run_experiment(
     pre_data: Optional[PreparedData] = None,
     verbose: bool = True,
     save_model: Optional[str] = None,
+    save_state: Optional[str] = None,
     n_shards: Optional[int] = None,
     partition: str = "halo",
 ) -> Dict[str, Any]:
@@ -55,6 +56,10 @@ def run_experiment(
     parameters are saved there via Orbax (the reference's checkpoint path is
     dead code, reference utils.py:244,254 — here it is a working CLI flag).
 
+    ``save_state``: optional RESUMABLE checkpoint directory — the best run's
+    full training state (params + Adam moments + epoch/early-stop counters),
+    restorable with ``resume_training`` / ``cli train --resume``.
+
     ``n_shards``: when set, each seed trains on an ``n_shards``-device 1-D
     mesh via :class:`textgcn_tpu.parallel.trainer.ShardedTrainer` (row-
     partitioned Â and features, ``partition`` = "halo" ppermute ring or
@@ -63,6 +68,11 @@ def run_experiment(
     if n_shards is not None and getattr(config, "model", "gcn") != "gcn":
         raise ValueError(
             "sharded training currently supports the gcn family only"
+        )
+    if n_shards is not None and save_state is not None:
+        raise ValueError(
+            "resumable training state is a single-device feature for now; "
+            "drop --save_state or --shards"
         )
     if n_shards is not None and config.spmm not in ("auto", "segment"):
         raise ValueError(
@@ -178,6 +188,83 @@ def run_experiment(
         summary["checkpoint"] = path
         if verbose:
             print(f"saved best-run checkpoint (acc={best_acc:.4f}) to {path}")
+    if save_state:
+        path = best_trainer.save_training_state(save_state)
+        summary["resumable_checkpoint"] = path
+        if verbose:
+            print(f"saved resumable training state to {path}")
+    write_reports(summary, output_dir)
+    return summary
+
+
+def resume_training(
+    dataset: str,
+    resume_dir: str,
+    graph_family: str = "topic",
+    data_root: str = "data",
+    output_dir: str = "results",
+    config: TrainConfig = TrainConfig(),
+    pre_data: Optional[PreparedData] = None,
+    verbose: bool = True,
+    save_model: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Continue an interrupted single-seed run from a resumable checkpoint
+    (written by ``Trainer.save_training_state`` / ``cli train --save_state``).
+
+    The seed is read from the checkpoint so the dropout-key stream and
+    train/val split continue identically; the resumed trajectory is
+    bit-identical to an uninterrupted run (test-pinned in
+    tests/test_checkpoint.py).
+    """
+    from textgcn_tpu.train.checkpoint import restore_checkpoint
+    from textgcn_tpu.train.prepare import apply_spmm_format
+
+    saved_seed = int(restore_checkpoint(resume_dir)["metadata"]["seed"])
+    config = dataclasses.replace(config, seed=saved_seed)
+    if pre_data is None:
+        if graph_family == "docword":
+            from textgcn_tpu.train.prepare import prepare_docword_data
+
+            pre_data = prepare_docword_data(dataset, data_root=data_root)
+        else:
+            pre_data = prepare_topic_data(dataset, data_root=data_root)
+    if getattr(config, "model", "gcn") != "gat":
+        pre_data = apply_spmm_format(pre_data, config.spmm)
+    trainer = Trainer(
+        pre_data.graph,
+        pre_data.features,
+        pre_data.labels.target,
+        pre_data.labels.train_idx,
+        pre_data.labels.test_idx,
+        pre_data.labels.n_classes,
+        config=config,
+    )
+    trainer.fit(verbose=verbose, resume_from=resume_dir)
+    test_desc = trainer.test()
+    if verbose:
+        print(f"[resumed seed={saved_seed}] {test_desc}")
+    summary = {
+        "dataset": dataset,
+        "graph_family": graph_family,
+        "times": 1,
+        "resumed_from": resume_dir,
+        "hyperparameters": dataclasses.asdict(config),
+        "test_accuracy": aggregate([test_desc["acc"]]),
+        "test_macro_f1": aggregate([test_desc["macro_f1"]]),
+        "model_param": test_desc["model_param"],
+        "train_time": aggregate([test_desc["train_time"]]),
+        "runs": [
+            {
+                "seed": saved_seed,
+                "test": test_desc,
+                "epochs_run": len(trainer.history),
+                "history": trainer.history,
+            }
+        ],
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    if save_model:
+        summary["checkpoint"] = trainer.save_training_state(save_model)
     write_reports(summary, output_dir)
     return summary
 

@@ -164,6 +164,26 @@ def _train_block(
     return params, opt_state, outs
 
 
+def _progress_metadata(
+    epoch: int,
+    best_val: float,
+    stopper_best: float,
+    stopper_counter: int,
+    stopped: int,
+    seed: int,
+) -> Dict[str, np.ndarray]:
+    """Training-progress counters as a flat numpy dict (checkpoint schema —
+    doubles as the restore template)."""
+    return {
+        "epoch": np.asarray(epoch, dtype=np.int64),
+        "best_val": np.asarray(best_val, dtype=np.float64),
+        "stopper_best": np.asarray(stopper_best, dtype=np.float64),
+        "stopper_counter": np.asarray(stopper_counter, dtype=np.int64),
+        "stopped": np.asarray(stopped, dtype=np.int64),
+        "seed": np.asarray(seed, dtype=np.int64),
+    }
+
+
 class Trainer:
     """Trains a 2-layer GCN full-batch on a prepared graph."""
 
@@ -195,7 +215,20 @@ class Trainer:
         self.train_time = 0.0
         self.model_param = 0
 
-    def fit(self, verbose: bool = True) -> Dict[str, Any]:
+    def fit(
+        self, verbose: bool = True, resume_from: Optional[str] = None
+    ) -> Dict[str, Any]:
+        """Train to ``max_epoch`` or early stop.
+
+        ``resume_from``: checkpoint directory written by
+        :meth:`save_training_state` — params, optimizer state, epoch
+        counter, and early-stop state are restored and training continues
+        with the SAME per-epoch dropout-key stream (keys are derived from
+        ``cfg.seed`` upfront), so an interrupted-then-resumed run is
+        bit-identical to an uninterrupted one (test-pinned). The reference
+        cannot resume at all — its checkpoint path is dead code
+        (reference utils.py:244,254).
+        """
         cfg = self.cfg
         tr, va = train_val_split(self.train_idx_all, cfg.val_ratio, cfg.seed)
         train_idx = jnp.asarray(tr, dtype=jnp.int32)
@@ -221,13 +254,44 @@ class Trainer:
         stopper = EarlyStopping(cfg.early_stopping)
 
         best_val = np.inf
+        start_epoch = 0
+        if resume_from is not None:
+            if cfg.restore_best:
+                raise ValueError(
+                    "resume_from tracks the live training state; "
+                    "restore_best snapshots are not part of it"
+                )
+            from textgcn_tpu.train.checkpoint import restore_checkpoint
+
+            template = {
+                "params": params,
+                "opt_state": opt_state,
+                "metadata": _progress_metadata(0, np.inf, np.inf, 0, 0,
+                                               cfg.seed),
+            }
+            state = restore_checkpoint(resume_from, template=template)
+            md = state["metadata"]
+            if int(md["stopped"]):
+                raise ValueError(
+                    f"checkpoint {resume_from} is from an early-stopped "
+                    "run; there is nothing to resume"
+                )
+            params = state["params"]
+            opt_state = state["opt_state"]
+            start_epoch = int(md["epoch"])
+            best_val = float(md["best_val"])
+            sb = float(md["stopper_best"])
+            stopper.best_score = None if np.isinf(sb) else sb
+            stopper.counter = int(md["stopper_counter"])
+
         best_params = params
         start = time.time()
         block = max(1, cfg.epoch_block)
         # one dropout key per epoch, derived upfront so the training
-        # trajectory is identical for any epoch_block choice
+        # trajectory is identical for any epoch_block choice (and across
+        # interrupt/resume boundaries)
         all_rngs = jax.random.split(key, cfg.max_epoch)
-        epoch = 0
+        epoch = start_epoch
         stopped = False
         while epoch < cfg.max_epoch and not stopped:
             n_epochs = min(block, cfg.max_epoch - epoch)
@@ -284,7 +348,41 @@ class Trainer:
                     break
         self.train_time = time.time() - start
         self.params = best_params if cfg.restore_best else params
+        # live training state for save_training_state (mid-training resume)
+        self._opt_state = opt_state
+        self._best_val = best_val
+        self._stopper = stopper
+        self._epochs_done = epoch
+        self._stopped = stopped
         return {"epochs_run": len(self.history), "train_time": self.train_time}
+
+    def save_training_state(self, path: str) -> str:
+        """Resumable checkpoint: params + optimizer state + progress.
+
+        Unlike :meth:`save` (params only, for serving/eval), this captures
+        everything :meth:`fit` needs to CONTINUE training — Adam moments,
+        epoch counter, best-val-loss, early-stop patience state — so an
+        interrupted run resumed via ``fit(resume_from=...)`` reproduces the
+        uninterrupted trajectory exactly.
+        """
+        from textgcn_tpu.train.checkpoint import save_checkpoint
+
+        if self.params is None or not hasattr(self, "_opt_state"):
+            raise ValueError("fit() first")
+        st = self._stopper
+        return save_checkpoint(
+            path,
+            self.params,
+            opt_state=self._opt_state,
+            metadata=_progress_metadata(
+                self._epochs_done,
+                self._best_val,
+                np.inf if st.best_score is None else st.best_score,
+                st.counter,
+                int(self._stopped),
+                self.cfg.seed,
+            ),
+        )
 
     def _model_fns(self):
         from textgcn_tpu.models import MODELS
