@@ -184,6 +184,95 @@ def test_labels_and_splits(golden):
     assert len(mapping) == ref.nclass
 
 
+def test_training_trajectory_allclose(golden):
+    """Training-step parity vs the reference's actual optimizer semantics
+    (reference trainer.py:349-362: Adam(lr=0.02), CrossEntropy on TRAIN-node
+    logits only, full-batch): from identical weights, three epochs of the
+    torch reference and three epochs of our jitted ``_train_block`` must
+    produce allclose per-epoch losses AND allclose updated parameters.
+
+    Dropout is set to 0 in both frameworks — the trajectories are otherwise
+    deterministic, so this extends the golden suite from forward parity to
+    the full train step (forward + backward through the SpMMs + Adam)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textgcn_tpu.models.gcn import gcn_init
+    from textgcn_tpu.train import trainer as T
+
+    ours, ref, _ = golden
+    n_epochs = 3
+    params = gcn_init(jax.random.PRNGKey(1), ours.n_feat, 200, 8)
+
+    # --- reference side: torch GCN + Adam, CE on train logits -------------
+    sys.path.insert(0, REF)
+    try:
+        from layer import GCN as RefGCN
+    finally:
+        sys.path.remove(REF)
+    model = RefGCN(nfeat=ours.n_feat, nhid=200, nclass=8, dropout=0.0)
+    with torch.no_grad():
+        model.gc1.weight.copy_(torch.from_numpy(np.asarray(params["gc1"]["w"])))
+        model.gc1.bias.copy_(torch.from_numpy(np.asarray(params["gc1"]["b"])))
+        model.gc2.weight.copy_(torch.from_numpy(np.asarray(params["gc2"]["w"])))
+        model.gc2.bias.copy_(torch.from_numpy(np.asarray(params["gc2"]["b"])))
+    # identical train subset for both (the reference further splits off 10%
+    # val — irrelevant here: only the loss-bearing index set must match)
+    train_idx = np.asarray(ref.train_lst, dtype=np.int64)
+    target_t = torch.from_numpy(np.asarray(ref.target, dtype=np.int64))
+    opt_t = torch.optim.Adam(model.parameters(), lr=0.02)
+    crit = torch.nn.CrossEntropyLoss()
+    ref_losses = []
+    for _e in range(n_epochs):
+        model.train()
+        opt_t.zero_grad()
+        logits = model(ref.features, ref.adj)
+        loss = crit(logits[train_idx], target_t[train_idx])
+        loss.backward()
+        opt_t.step()
+        ref_losses.append(float(loss.item()))
+
+    # --- our side: labels permuted to the reference's set()-order ids so
+    # the CE targets are numerically identical --------------------------
+    mapping = np.zeros(8, dtype=np.int64)
+    for a, b in zip(ours.labels.target, np.asarray(ref.target)):
+        mapping[a] = b
+    y_ref_order = mapping[ours.labels.target]
+
+    opt = T._adam()
+    opt_state = opt.init(params)
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(0.02, jnp.float32)
+    rngs = jax.random.split(jax.random.PRNGKey(0), n_epochs)  # unused: p=0
+    params2, _, outs = T._train_block(
+        params,
+        opt_state,
+        rngs,
+        ours.graph,
+        jnp.asarray(ours.features),
+        jnp.asarray(y_ref_order, dtype=jnp.int32),
+        jnp.asarray(train_idx, dtype=jnp.int32),
+        jnp.asarray(train_idx[:10], dtype=jnp.int32),  # val: any subset
+        8,
+        0.0,  # dropout off
+    )
+    our_losses = np.asarray(outs[1])
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5)
+    for name, layer in (("gc1", model.gc1), ("gc2", model.gc2)):
+        np.testing.assert_allclose(
+            np.asarray(params2[name]["w"]),
+            layer.weight.detach().numpy(),
+            rtol=2e-3,
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(params2[name]["b"]),
+            layer.bias.detach().numpy(),
+            rtol=2e-3,
+            atol=2e-4,
+        )
+
+
 def test_per_layer_activations_allclose(golden):
     """Same weights → same layer-1 pre-activation, hidden, and logits
     (reference layer.py:84-190 vs models/gcn.gcn_forward)."""
