@@ -1,0 +1,135 @@
+"""Worker process for the 2-process ``jax.distributed`` test.
+
+Launched by tests/test_distributed.py as
+``python tests/distributed_worker.py --port P --pid {0,1} --out FILE``.
+Each process brings 4 virtual CPU devices; ``init_distributed`` connects
+them into one 8-device job, and a sharded GCN train step runs over the
+GLOBAL mesh — the same computation the single-process 8-device test
+performs, so the losses must match.
+
+Order matters: the platform must be forced to CPU immediately after
+``import jax`` (this machine's sitecustomize pins the TPU plugin; touching
+it here would collide with concurrent TPU work), and
+``jax.distributed.initialize`` must run before any other API touches the
+backend.
+"""
+import argparse
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+
+    from textgcn_tpu.parallel.distributed import (
+        DistributedConfig,
+        global_mesh,
+        init_distributed,
+        process_summary,
+    )
+
+    ok = init_distributed(
+        DistributedConfig(
+            coordinator_address=f"localhost:{args.port}",
+            num_processes=args.nproc,
+            process_id=args.pid,
+        )
+    )
+    assert ok, "init_distributed must report multiprocess"
+    assert jax.process_count() == args.nproc
+    assert jax.device_count() == 4 * args.nproc
+    print(process_summary(), file=sys.stderr, flush=True)
+
+    loss = run_global_step(global_mesh())
+
+    if jax.process_index() == 0:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(f"{loss!r}\n")
+    # clean shutdown so the coordinator releases the barrier
+    jax.distributed.shutdown()
+    return 0
+
+
+def make_problem(n_shards: int):
+    """Deterministic toy problem — every process (and the single-process
+    control in test_distributed.py) builds bit-identical inputs."""
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from __graft_entry__ import _synthetic_graph
+    from textgcn_tpu.models.gcn import gcn_init
+    from textgcn_tpu.parallel.partition import pad_features, partition_rows
+
+    import jax
+
+    g, x, y = _synthetic_graph(n_docs=96, n_topics=16, n_feat=32, seed=0)
+    pg = partition_rows(g, n_shards)
+    xp = pad_features(x, pg.n_pad)
+    yp = np.zeros(pg.n_pad, dtype=np.int32)
+    yp[: len(y)] = y % 8
+    w = np.zeros(pg.n_pad, dtype=np.float32)
+    w[: g.n_nodes] = (np.random.RandomState(1).rand(g.n_nodes) < 0.5).astype(
+        np.float32
+    )
+    params = gcn_init(jax.random.PRNGKey(0), x.shape[1], 16, 8)
+    return pg, xp, yp, w, params
+
+
+def run_global_step(mesh) -> float:
+    """One sharded train step over ``mesh`` (works for a single-process
+    virtual mesh AND a multi-process global mesh: arrays are assembled
+    shard-by-shard via make_array_from_callback, which only materializes
+    the addressable shards on each process)."""
+    import dataclasses
+
+    import jax
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from textgcn_tpu.parallel.sharded import AXIS, make_sharded_train_step
+
+    n_shards = mesh.devices.size
+    pg, xp, yp, w, params = make_problem(n_shards)
+
+    def put(arr, spec):
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+        )
+
+    pg = dataclasses.replace(
+        pg,
+        row=put(pg.row, P(AXIS)),
+        col=put(pg.col, P(AXIS)),
+        val=put(pg.val, P(AXIS)),
+    )
+    xs = put(xp, P(AXIS, None))
+    ys = put(yp, P(AXIS))
+    ws = put(w, P(AXIS))
+    params = jax.tree_util.tree_map(lambda a: put(a, P()), params)
+
+    opt = optax.adam(1e-2)
+    step = make_sharded_train_step(pg, mesh, opt, dropout=0.0)
+    opt_state = jax.tree_util.tree_map(
+        lambda a: put(a, P()), opt.init(jax.tree_util.tree_map(np.asarray,
+                                                              params))
+    )
+    _, _, loss = step(params, opt_state, xs, ys, ws, jax.random.PRNGKey(1))
+    return float(loss)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

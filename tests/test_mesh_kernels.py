@@ -1,0 +1,201 @@
+"""Pallas kernels on the mesh (round-2 verdict item #1): the one-hot MXU
+segment-reduce as the shard-local aggregation in both mesh layouts, and the
+sharded GAT family — oracle-checked against scipy and the single-device
+trainers on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from textgcn_tpu.graph.normalize import sym_normalize_coo
+from textgcn_tpu.graph.structs import SparseGraph
+from textgcn_tpu.parallel.mesh_kernels import (
+    MeshOneHotAllGather,
+    MeshOneHotHalo,
+    spmm_mesh_onehot,
+)
+from textgcn_tpu.parallel.partition import pad_features
+from textgcn_tpu.parallel.sharded import make_mesh
+from textgcn_tpu.parallel.trainer import ShardedTrainer
+from textgcn_tpu.train.trainer import TrainConfig, Trainer
+
+
+def _graph(n=100, m=600, seed=0):
+    rng = np.random.RandomState(seed)
+    row = rng.randint(0, n, m)
+    col = rng.randint(0, n, m)
+    row, col = np.r_[row, col], np.r_[col, row]
+    val = np.ones_like(row, dtype=np.float64)
+    r, c, v = sym_normalize_coo(row, col, val, n)
+    g = SparseGraph.from_coo(r, c, v, n, pad_to_multiple=256)
+    a = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    return g, a
+
+
+@pytest.mark.parametrize("cls", [MeshOneHotAllGather, MeshOneHotHalo])
+def test_mesh_onehot_matches_scipy(cls):
+    """Forward AND backward of the mesh one-hot SpMM vs the scipy oracle
+    (bf16 gather downcast bounds the error, same as the single-chip
+    kernel)."""
+    n, f = 100, 12
+    g, a = _graph(n)
+    rng = np.random.RandomState(1)
+    x = rng.randn(n, f).astype(np.float32)
+    mesh = make_mesh(8)
+    mg = cls.from_graph(g, 8, k=128, w=8)
+    xs = jax.device_put(
+        pad_features(x, mg.n_pad), NamedSharding(mesh, P("nodes", None))
+    )
+    out = np.asarray(spmm_mesh_onehot(mg, xs, mesh, True))[:n]
+    np.testing.assert_allclose(out, a @ x, rtol=0, atol=2e-2)
+
+    w = rng.randn(mg.n_pad, f).astype(np.float32)
+    dx = np.asarray(
+        jax.jit(
+            jax.grad(
+                lambda xx: jnp.sum(spmm_mesh_onehot(mg, xx, mesh, True) * w)
+            )
+        )(xs)
+    )[:n]
+    np.testing.assert_allclose(dx, a.T @ w[:n], rtol=0, atol=2e-2)
+
+
+def _data(seed=0, n_docs=96, n_classes=4):
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from __graft_entry__ import _synthetic_graph
+
+    g, x, y = _synthetic_graph(
+        n_docs=n_docs, n_topics=12, n_feat=24, seed=seed
+    )
+    rng = np.random.RandomState(seed)
+    target = (y[:n_docs] % n_classes).astype(np.int64)
+    is_train = rng.rand(n_docs) < 0.7
+    idx = np.arange(n_docs)
+    return g, x, target, idx[is_train], idx[~is_train], n_classes
+
+
+CFG = TrainConfig(
+    n_hidden=16, max_epoch=8, early_stopping=100, dropout=0.0, seed=3,
+    epoch_block=1,
+)
+
+
+@pytest.mark.parametrize("partition", ["halo", "allgather"])
+def test_sharded_onehot_trains(partition):
+    """ShardedTrainer(kernel='onehot') — the Pallas mesh path — trains: the
+    first-epoch loss matches the XLA segment mesh path to bf16 tolerance
+    and the loss decreases over the run."""
+    g, x, target, tr, te, C = _data()
+    seg = ShardedTrainer(
+        g, x, target, tr, te, C, config=CFG, n_shards=8,
+        partition=partition, kernel="segment",
+    )
+    seg.fit(verbose=False)
+    one = ShardedTrainer(
+        g, x, target, tr, te, C, config=CFG, n_shards=8,
+        partition=partition, kernel="onehot",
+    )
+    one.fit(verbose=False)
+    # identical data/params at epoch 0 → the loss gap is pure kernel
+    # numerics (bf16 gather in the one-hot path)
+    assert abs(
+        one.history[0]["train_loss"] - seg.history[0]["train_loss"]
+    ) < 5e-3
+    assert one.history[-1]["train_loss"] < one.history[0]["train_loss"]
+    ts, to = seg.test(), one.test()
+    assert abs(ts["acc"] - to["acc"]) < 0.1, (ts, to)
+
+
+def test_sharded_epoch_block_invariance():
+    """The sharded trainer's scan-blocked epochs are bit-identical across
+    block sizes (the single-device trainer pins the same property)."""
+    import dataclasses
+
+    g, x, target, tr, te, C = _data(seed=2)
+    runs = []
+    for block in (1, 4):
+        t = ShardedTrainer(
+            g, x, target, tr, te, C,
+            config=dataclasses.replace(CFG, epoch_block=block, dropout=0.5),
+            n_shards=4,
+        )
+        t.fit(verbose=False)
+        runs.append(t)
+    a, b = runs
+    assert len(a.history) == len(b.history)
+    for ha, hb in zip(a.history, b.history):
+        assert ha["train_loss"] == hb["train_loss"], (ha, hb)
+        assert ha["val_loss"] == hb["val_loss"], (ha, hb)
+
+
+def test_sharded_gat_matches_single_device():
+    """GAT on the mesh (allgather partition): epoch-by-epoch parity with the
+    single-device GAT trainer — attention softmax is shard-local because
+    every edge of a row lives on the row's owner."""
+    import dataclasses
+
+    g, x, target, tr, te, C = _data(seed=4)
+    cfg = dataclasses.replace(CFG, model="gat", max_epoch=6)
+    single = Trainer(g, x, target, tr, te, C, config=cfg)
+    single.fit(verbose=False)
+    sharded = ShardedTrainer(
+        g, x, target, tr, te, C, config=cfg, n_shards=8,
+        partition="allgather",
+    )
+    sharded.fit(verbose=False)
+    assert len(single.history) == len(sharded.history)
+    for hs, hd in zip(single.history, sharded.history):
+        assert abs(hs["train_loss"] - hd["train_loss"]) < 1e-3, (hs, hd)
+        assert abs(hs["val_loss"] - hd["val_loss"]) < 1e-3, (hs, hd)
+        assert abs(hs["acc"] - hd["acc"]) < 1e-6, (hs, hd)
+    ts, td = single.test(), sharded.test()
+    assert abs(ts["acc"] - td["acc"]) < 1e-6, (ts, td)
+    assert ts["model_param"] == td["model_param"]
+
+
+def test_sharded_gat_requires_allgather():
+    g, x, target, tr, te, C = _data(seed=4)
+    import dataclasses
+
+    with pytest.raises(ValueError, match="allgather"):
+        ShardedTrainer(
+            g, x, target, tr, te, C,
+            config=dataclasses.replace(CFG, model="gat"),
+            n_shards=4, partition="halo",
+        )
+
+
+def test_run_experiment_sharded_onehot(tmp_path, monkeypatch):
+    """--shards + --spmm onehot routes through the mesh kernels end-to-end
+    and records the kernel in the report."""
+    from textgcn_tpu.text.datasets import DatasetLabels
+    from textgcn_tpu.train.prepare import PreparedData
+    from textgcn_tpu.train.run import run_experiment
+
+    g, x, target, tr, te, C = _data(seed=6)
+    labels = DatasetLabels(
+        target=target, label_names=[str(i) for i in range(C)],
+        train_idx=tr, test_idx=te,
+    )
+    pre = PreparedData(
+        graph=g, features=x, labels=labels, n_feat=x.shape[1],
+        num_docs=len(target), num_topics=12,
+    )
+    monkeypatch.chdir(tmp_path)
+    summary = run_experiment(
+        "toy", times=1, config=TrainConfig(
+            n_hidden=8, max_epoch=6, dropout=0.0, spmm="onehot",
+            epoch_block=3,
+        ),
+        pre_data=pre, verbose=False, n_shards=4, partition="halo",
+        output_dir=str(tmp_path / "out"),
+    )
+    assert summary["sharding"]["kernel"] == "onehot"
+    assert 0.0 <= summary["test_accuracy"]["mean"] <= 1.0

@@ -182,7 +182,9 @@ def test_cli_train_sharded(tiny_root):
     assert rc == 0
     report = tiny_root / "results/tiny_topic_training_results.json"
     summary = json.loads(report.read_text())
-    assert summary["sharding"] == {"n_shards": 2, "partition": "halo"}
+    assert summary["sharding"] == {
+        "n_shards": 2, "partition": "halo", "kernel": "segment",
+    }
     acc = summary["test_accuracy"]["mean"]
     assert 0.0 <= acc <= 1.0
 

@@ -1,0 +1,131 @@
+"""Streamed (beyond-HBM) train step oracle tests (round-2 verdict item #3:
+the scale config must be TRAINABLE, not just inferable).
+
+The streamed GCN train step — both aggregations via spmm_streamed_sym, so
+neither the edge list nor any [E, F] residual ever materializes — must
+match a dense-matmul implementation of the same symmetric operator
+A + Aᵀ, loss AND parameter updates, at toy size with f32 streaming."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from textgcn_tpu.train.streamed import (
+    init_streamed,
+    make_streamed_train_step,
+    streamed_gcn_forward,
+    symmetrize_edge_fn,
+)
+
+
+def _toy_stream(n=64, n_chunks=4, chunk=48, seed=0):
+    """Fixed directed COO split into equal chunks + its dense A + Aᵀ."""
+    rng = np.random.RandomState(seed)
+    e = n_chunks * chunk
+    row = rng.randint(0, n, e).astype(np.int32)
+    col = rng.randint(0, n, e).astype(np.int32)
+    val = rng.rand(e).astype(np.float32)
+    a = np.zeros((n, n), dtype=np.float64)
+    np.add.at(a, (row, col), val)
+    a_sym = a + a.T
+
+    rows = jnp.asarray(row.reshape(n_chunks, chunk))
+    cols = jnp.asarray(col.reshape(n_chunks, chunk))
+    vals = jnp.asarray(val.reshape(n_chunks, chunk))
+
+    def edge_fn(i):
+        take = lambda arr: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            arr, i, 0, keepdims=False
+        )
+        return take(rows), take(cols), take(vals)
+
+    return edge_fn, a_sym.astype(np.float32)
+
+
+def _dense_forward(params, a, x):
+    s1 = x @ params["gc1"]["w"]
+    h = jax.nn.relu(a @ s1 + params["gc1"]["b"])
+    return a @ (h @ params["gc2"]["w"]) + params["gc2"]["b"]
+
+
+def test_streamed_forward_matches_dense():
+    n, f, h, c = 64, 12, 8, 3
+    edge_fn, a_sym = _toy_stream(n)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    params, _, _ = init_streamed(jax.random.PRNGKey(0), f, h, c)
+    x = jnp.asarray(np.random.RandomState(1).randn(n, f), dtype=jnp.float32)
+    got = streamed_gcn_forward(
+        params, sym_fn, x, n, 8, stream_dtype=jnp.float32
+    )
+    want = _dense_forward(params, jnp.asarray(a_sym), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_streamed_train_step_matches_dense():
+    """One full streamed train step (fwd + bwd through BOTH streamed
+    aggregations + Adam) == the dense-operator train step: loss and every
+    updated parameter allclose."""
+    n, f, h, c = 64, 12, 8, 3
+    edge_fn, a_sym = _toy_stream(n)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(n, f), dtype=jnp.float32)
+    y = jnp.asarray(rng.randint(0, c, n), dtype=jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), dtype=jnp.float32)
+
+    params, opt, opt_state = init_streamed(jax.random.PRNGKey(3), f, h, c)
+    step = make_streamed_train_step(
+        sym_fn, n, 8, stream_dtype=jnp.float32
+    )
+    p_s, _, loss_s = step(params, opt_state, x, y, mask)
+
+    # dense oracle with identical loss/optimizer semantics
+    a = jnp.asarray(a_sym)
+
+    def dense_loss(p):
+        logits = _dense_forward(p, a, x)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.sum(mask)
+
+    params_d, _, opt_state_d = init_streamed(jax.random.PRNGKey(3), f, h, c)
+    loss_d, grads = jax.value_and_grad(dense_loss)(params_d)
+    opt_d = optax.adam(0.02)
+    updates, _ = opt_d.update(grads, opt_state_d, params_d)
+    p_d = optax.apply_updates(params_d, updates)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_d),
+    ):
+        assert str(ka) == str(kb)  # same pytree structure → same order
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )
+
+
+def test_streamed_training_reduces_loss():
+    """A few streamed steps reduce the loss on a learnable toy problem."""
+    n, f, h, c = 64, 12, 8, 3
+    edge_fn, _ = _toy_stream(n, seed=5)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(6)
+    y_np = rng.randint(0, c, n)
+    # features carry the label signal so the loss can actually drop
+    x = jnp.asarray(
+        rng.randn(n, f) * 0.1 + np.eye(c)[y_np][:, (np.arange(f) % c)],
+        dtype=jnp.float32,
+    )
+    y = jnp.asarray(y_np, dtype=jnp.int32)
+    mask = jnp.ones((n,), dtype=jnp.float32)
+    params, opt, opt_state = init_streamed(jax.random.PRNGKey(7), f, h, c)
+    step = make_streamed_train_step(sym_fn, n, 8, stream_dtype=jnp.float32)
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state, x, y, mask)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses

@@ -102,12 +102,21 @@ def sharded_gcn_forward(
     out of shard_map AD for free.
     """
     from textgcn_tpu.parallel.halo import HaloPartitionedGraph, spmm_halo
-
-    agg = (
-        (lambda s: spmm_halo(pg, s, mesh))
-        if isinstance(pg, HaloPartitionedGraph)
-        else (lambda s: spmm_sharded(pg, s, mesh))
+    from textgcn_tpu.parallel.mesh_kernels import (
+        MeshOneHotAllGather,
+        MeshOneHotHalo,
+        spmm_mesh_onehot,
     )
+
+    if isinstance(pg, (MeshOneHotAllGather, MeshOneHotHalo)):
+        # Pallas one-hot MXU kernels on the mesh (interpret-mode pure-XLA
+        # lowering off-TPU, same numerics — mirrors ops/spmm.spmm)
+        interpret = jax.default_backend() != "tpu"
+        agg = lambda s: spmm_mesh_onehot(pg, s, mesh, interpret)  # noqa: E731
+    elif isinstance(pg, HaloPartitionedGraph):
+        agg = lambda s: spmm_halo(pg, s, mesh)  # noqa: E731
+    else:
+        agg = lambda s: spmm_sharded(pg, s, mesh)  # noqa: E731
     if x is None:
         support = params["gc1"]["w"]
     else:
@@ -122,6 +131,100 @@ def sharded_gcn_forward(
         h = jnp.where(mask, h / keep, 0.0)
     support2 = jnp.dot(h, params["gc2"]["w"], preferred_element_type=jnp.float32)
     return agg(support2) + params["gc2"]["b"]
+
+
+def _gat_attention_agg(
+    a_src: jnp.ndarray,
+    a_dst: jnp.ndarray,
+    pg: PartitionedGraph,
+    h: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """Sharded GAT attention + aggregation over the allgather layout.
+
+    Every edge of a row lives on that row's owner shard (PartitionedGraph
+    is row-partitioned), so the per-row attention softmax is purely LOCAL —
+    the only communication is the all-gather of the projected features,
+    identical to the GCN allgather aggregation. Semantics mirror
+    :func:`textgcn_tpu.models.gat.gat_layer` exactly: weighted softmax via
+    ``+log(val)`` (padding edges val=0 → -inf → weight 0), LeakyReLU edge
+    logits, row-segment softmax.
+    """
+    from textgcn_tpu.models.gat import segment_softmax
+
+    rps = pg.rows_per_shard
+
+    def body(a_s, a_d, row_b, col_b, val_b, h_local):
+        row, col, val = row_b[0], col_b[0], val_b[0]
+        h_full = jax.lax.all_gather(h_local, AXIS, axis=0, tiled=True)
+        es = jnp.dot(h_local, a_s, preferred_element_type=jnp.float32)
+        ed = jnp.dot(h_full, a_d, preferred_element_type=jnp.float32)
+        gs = jnp.take(es, row, mode="fill", fill_value=0.0)  # phantom=rps
+        gd = jnp.take(ed, col, mode="fill", fill_value=0.0)  # phantom=n_pad
+        e = jax.nn.leaky_relu(gs + gd, negative_slope)
+        e = e + jnp.log(val)
+        att = segment_softmax(e, row, rps)
+        hp = jnp.concatenate(
+            [h_full, jnp.zeros((1, h_full.shape[1]), dtype=h_full.dtype)],
+            axis=0,
+        )
+        contrib = hp[col] * att[:, None]  # phantom col == n_pad → zero row
+        return jax.ops.segment_sum(
+            contrib, row, num_segments=rps + 1, indices_are_sorted=True
+        )[:rps]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS, None)),
+        out_specs=P(AXIS, None),
+    )(a_src, a_dst, pg.row, pg.col, pg.val, h)
+
+
+def sharded_gat_forward(
+    params,
+    pg: PartitionedGraph,
+    x: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    dropout: float = 0.0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Row-sharded GAT logits [n_pad, C] (mesh analogue of
+    :func:`textgcn_tpu.models.gat.gat_forward`).
+
+    Requires the allgather partition: attention needs every column's
+    projected feature AND every edge of a row on the row's owner, which is
+    exactly PartitionedGraph's layout. ``x=None`` selects identity features
+    (gat1.w is the row-sharded [n_pad, H] node table, as in the GCN path).
+    """
+    if not isinstance(pg, PartitionedGraph):
+        raise TypeError(
+            "sharded GAT needs the allgather PartitionedGraph layout "
+            "(--partition allgather); per-row softmax over halo ring "
+            f"buckets is not supported, got {type(pg).__name__}"
+        )
+
+    def layer(p, h_in):
+        support = (
+            p["w"]
+            if h_in is None
+            else jnp.dot(h_in, p["w"], preferred_element_type=jnp.float32)
+        )
+        return (
+            _gat_attention_agg(p["a_src"], p["a_dst"], pg, support, mesh)
+            + p["b"]
+        )
+
+    h = jax.nn.relu(layer(params["gat1"], x))
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+    return layer(params["gat2"], h)
 
 
 def make_sharded_train_step(

@@ -65,20 +65,35 @@ def run_experiment(
     partitioned Â and features, ``partition`` = "halo" ppermute ring or
     "allgather"), with identical train/val/early-stop/test semantics.
     """
-    if n_shards is not None and getattr(config, "model", "gcn") != "gcn":
+    if n_shards is not None and getattr(config, "model", "gcn") not in (
+        "gcn",
+        "gat",
+    ):
         raise ValueError(
-            "sharded training currently supports the gcn family only"
+            "sharded training supports the gcn and gat families "
+            "(gat needs --partition allgather)"
         )
     if n_shards is not None and save_state is not None:
         raise ValueError(
             "resumable training state is a single-device feature for now; "
             "drop --save_state or --shards"
         )
-    if n_shards is not None and config.spmm not in ("auto", "segment"):
+    if n_shards is not None and config.spmm not in (
+        "auto",
+        "segment",
+        "onehot",
+    ):
         raise ValueError(
-            "--spmm kernel formats apply to single-device training; the "
-            "sharded path picks its own per-shard layout (halo/allgather)"
+            "with --shards, the sharded path accepts --spmm auto|segment "
+            "(XLA per-shard aggregation) or onehot (Pallas one-hot MXU "
+            "mesh kernels); other single-device formats don't partition"
         )
+    # mesh aggregation kernel: --spmm onehot routes the sharded path through
+    # the Pallas one-hot MXU segment-reduce (parallel/mesh_kernels.py)
+    mesh_kernel = (
+        "onehot" if (n_shards is not None and config.spmm == "onehot")
+        else "segment"
+    )
     if getattr(config, "model", "gcn") == "gat" and config.spmm not in (
         "auto",
         "segment",
@@ -137,6 +152,7 @@ def run_experiment(
                 config=cfg,
                 n_shards=n_shards,
                 partition=partition,
+                kernel=mesh_kernel,
             )
         else:
             trainer = Trainer(
@@ -182,7 +198,11 @@ def run_experiment(
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     if n_shards is not None:
-        summary["sharding"] = {"n_shards": n_shards, "partition": partition}
+        summary["sharding"] = {
+            "n_shards": n_shards,
+            "partition": partition,
+            "kernel": mesh_kernel,
+        }
     if save_model:
         path = best_trainer.save(save_model)
         summary["checkpoint"] = path
