@@ -14,9 +14,12 @@ it here would collide with concurrent TPU work), and
 backend.
 """
 import argparse
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

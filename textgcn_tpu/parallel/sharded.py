@@ -239,11 +239,16 @@ def make_sharded_train_step(
     The loss is CE over labeled train nodes: each shard's rows carry a
     weight mask (1 for train nodes, 0 otherwise); per-shard weighted sums
     are psum'd so the loss equals the global masked mean.
+
+    The graph pytree is a jit ARGUMENT (not closed over): in a
+    multi-process job its arrays span non-addressable devices, which jax
+    forbids capturing as constants — and passing it also keeps the edge
+    arrays out of the compiled HLO.
     """
 
-    def loss_fn(params, x, y, w, rng):
+    def loss_fn(params, g, x, y, w, rng):
         logits = sharded_gcn_forward(
-            params, pg, x, mesh, dropout=dropout, train=True, rng=rng
+            params, g, x, mesh, dropout=dropout, train=True, rng=rng
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
@@ -252,13 +257,16 @@ def make_sharded_train_step(
         return num / den
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, x, y, w, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, w, rng)
+    def _step(params, opt_state, g, x, y, w, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, g, x, y, w, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, params, updates
         )
         return params, opt_state, loss
+
+    def train_step(params, opt_state, x, y, w, rng):
+        return _step(params, opt_state, pg, x, y, w, rng)
 
     return train_step
 
