@@ -100,6 +100,226 @@ def time_train_epochs(pre, fmt: str, n_epochs: int = 8) -> dict:
     }
 
 
+def roofline_probe() -> dict:
+    """In-session machine bounds (round-2 verdict item #2): measure the
+    chip's HBM stream bandwidth and random-row gather rate HERE, in the
+    same process and tunnel conditions as the kernel timings, so every
+    kernel below can be reported as a fraction of its governing bound
+    rather than argued in markdown.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    res = {}
+    # HBM stream BW: elementwise y = a*x + b over 1 GiB (reads + writes
+    # 2 GiB per pass). Chained applications, single tiny readback.
+    n = 1 << 28
+    x = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.float32))(
+        jax.random.PRNGKey(0)
+    )
+    f = jax.jit(lambda v: v * 1.0000001 + 0.25)
+    y = f(x)
+    float(y[0])  # forced readback (tunnel: block_until_ready lies)
+    reps = 6
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = f(y)
+    float(y[0])
+    dt = (time.perf_counter() - t0) / reps
+    res["hbm_stream_gbps"] = 2 * 4 * n / dt / 1e9
+    x.delete()
+    y.delete()
+
+    # random-row gather rate: 4M random rows from a [1M, 128] f32 table —
+    # the 512-byte-granule random-read wall that bounds uniform-sparsity
+    # SpMM (independent of row width per gather_probe.py: the wall is
+    # granule-count-bound, not byte-bound)
+    nt, fd, ng = 1_000_000, 128, 4_000_000
+    tbl = jax.jit(lambda k: jax.random.normal(k, (nt, fd), jnp.float32))(
+        jax.random.PRNGKey(1)
+    )
+    idx = jax.jit(
+        lambda k: jax.random.randint(k, (ng,), 0, nt, dtype=jnp.int32)
+    )(jax.random.PRNGKey(2))
+    g = jax.jit(lambda t, i: t[i])
+    out = g(tbl, idx)
+    float(out[0, 0])
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = g(tbl, idx)
+        float(out[0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    res["gather_rows_per_s"] = ng / dt
+    res["gather_gbps"] = ng * fd * 4 / dt / 1e9
+    tbl.delete()
+    idx.delete()
+    out.delete()
+    log(
+        f"[bench] roofline probe: HBM stream {res['hbm_stream_gbps']:.0f} "
+        f"GB/s | random gather {res['gather_rows_per_s'] / 1e6:.0f}M rows/s "
+        f"({res['gather_gbps']:.0f} GB/s effective)"
+    )
+    return res
+
+
+def _hybrid_bound_bytes(h, f_pad: int) -> dict:
+    """Bytes one BSR-leg pass moves (bf16 tiles + x tile loads + f32 out)
+    and the residual one-hot edge count — inputs to the hybrid bound."""
+    from textgcn_tpu.ops.pallas_spmm import GroupedBSR
+
+    bsr = h.bsr
+    if isinstance(bsr, GroupedBSR):
+        tile_loads = bsr.blocks.shape[0] * bsr.group
+        bn = bsr.bn
+        out_rows = bsr.n_block_rows * bsr.bm
+    else:
+        tile_loads = bsr.blocks.shape[0]
+        bn = bsr.bn
+        out_rows = bsr.n_block_rows * bsr.bm
+    blocks_bytes = int(np_size(bsr.blocks)) * 2  # bf16 path
+    x_bytes = tile_loads * bn * f_pad * 2
+    out_bytes = out_rows * f_pad * 4
+    return {
+        "bsr_edges": int(bsr.n_edges),
+        "rest_edges": int(h.rest.fwd.n_edges) if h.rest is not None else 0,
+        "bsr_bytes_per_pass": blocks_bytes + x_bytes + out_bytes,
+    }
+
+
+def np_size(a) -> int:
+    import numpy as np
+
+    return int(np.prod(a.shape))
+
+
+def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 5) -> dict:
+    """Single Â@X pass per kernel at the training hidden width (F=200),
+    each with a bound model + measured fraction_of_bound.
+
+    Measurement definition: ONE aggregation pass, jitted, forced scalar
+    readback per rep — this is the *kernel* number. The per-epoch numbers
+    elsewhere in perf_bench.json are a different definition (6 passes +
+    Adam + metrics per epoch, amortized dispatch); both are recorded so
+    the 59.9 ms vs 331 ms style ambiguity of round 2 cannot recur.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from textgcn_tpu.ops.spmm import spmm
+    from textgcn_tpu.train.prepare import apply_spmm_format
+
+    n = pre.n_nodes
+    e = pre.graph.n_edges
+    x = jax.jit(lambda k: jax.random.normal(k, (n, f), jnp.float32))(
+        jax.random.PRNGKey(3)
+    )
+    gather = probe["gather_rows_per_s"]
+    hbm = probe["hbm_stream_gbps"] * 1e9
+    f_pad = ((f + 127) // 128) * 128
+    out = {}
+    for fmt in ("segment", "onehot", "hybrid"):
+        p = apply_spmm_format(pre, fmt)
+        y = spmm(p.graph, x)
+        float(jnp.sum(y))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = spmm(p.graph, x)
+            float(jnp.sum(y))
+        dt = (time.perf_counter() - t0) / reps
+        rec = {"pass_ms": dt * 1e3, "edges_per_s": e / dt}
+        if fmt in ("segment", "onehot"):
+            # every edge is one random-row read; the scatter side is
+            # overlapped (onehot) or additional (segment) — the gather
+            # wall is the floor for both
+            rec["bound_model"] = "random-row gather wall (1 row/edge)"
+            bound_t = e / gather
+        else:
+            hb = _hybrid_bound_bytes(p.graph, f_pad)
+            rec.update(hb)
+            rec["bound_model"] = (
+                "BSR leg at HBM stream BW + residual edges at gather wall"
+            )
+            bound_t = hb["bsr_bytes_per_pass"] / hbm + hb["rest_edges"] / gather
+        rec["bound_ms"] = bound_t * 1e3
+        rec["fraction_of_bound"] = bound_t / dt
+        out[fmt] = rec
+        log(
+            f"[bench] {fmt} pass: {rec['pass_ms']:.1f} ms "
+            f"({rec['edges_per_s'] / 1e6:.0f}M edges/s) = "
+            f"{rec['fraction_of_bound'] * 100:.0f}% of bound "
+            f"({rec['bound_model']})"
+        )
+    x.delete()
+    return out
+
+
+def mesh_kernel_perf(pre, f: int = 200, reps: int = 5) -> dict:
+    """Per-shard throughput of the MESH aggregation path on real hardware:
+    a 1-device mesh on this chip running the halo-ring bucket layout
+    through the Pallas one-hot kernel (parallel/mesh_kernels.py) — the
+    same code the virtual-mesh parity tests pin, measured where perf is
+    real. (Multi-chip hardware is not available here; per-shard rate x
+    scaling efficiency is the multi-chip projection, and the ring's
+    collectives are exercised on the virtual mesh.)"""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from textgcn_tpu.graph.reorder import degree_sort_permutation
+    from textgcn_tpu.graph.structs import SparseGraph
+    from textgcn_tpu.parallel.mesh_kernels import (
+        MeshHybridAllGather,
+        MeshOneHotHalo,
+        spmm_mesh_onehot,
+    )
+    from textgcn_tpu.parallel.sharded import make_mesh
+
+    import numpy as np
+
+    mesh = make_mesh(1)
+    e = pre.graph.n_edges
+    res = {}
+
+    def time_layout(mg, label):
+        x = jax.jit(
+            lambda k: jax.random.normal(k, (mg.n_pad, f), jnp.float32)
+        )(jax.random.PRNGKey(4))
+        xs = jax.device_put(x, NamedSharding(mesh, P("nodes", None)))
+        y = spmm_mesh_onehot(mg, xs, mesh, False)
+        float(jnp.sum(y))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = spmm_mesh_onehot(mg, xs, mesh, False)
+            float(jnp.sum(y))
+        dt = (time.perf_counter() - t0) / reps
+        x.delete()
+        log(
+            f"[bench] mesh kernel (P=1 {label}): {dt * 1e3:.1f} ms/pass "
+            f"({e / dt / 1e6:.0f}M edges/s per shard)"
+        )
+        return {"pass_ms": dt * 1e3, "edges_per_s_per_shard": e / dt}
+
+    res["halo_onehot"] = time_layout(
+        MeshOneHotHalo.from_graph(pre.graph, 1, k=2048, w=512),
+        "halo onehot",
+    )
+    # hybrid mesh leg wants the degree-sorted pattern (ShardedTrainer
+    # applies the same permutation in real runs)
+    ne = pre.graph.n_edges
+    row = np.asarray(pre.graph.row)[:ne]
+    col = np.asarray(pre.graph.col)[:ne]
+    val = np.asarray(pre.graph.val)[:ne]
+    perm = degree_sort_permutation(row, col, pre.graph.n_nodes)
+    gperm = SparseGraph.from_coo(
+        perm[row], perm[col], val, pre.graph.n_nodes, pad_to_multiple=256
+    )
+    mgh = MeshHybridAllGather.from_graph(gperm, 1, k=2048, w=512)
+    res["allgather_hybrid"] = time_layout(mgh, "allgather hybrid")
+    res["allgather_hybrid"]["dense_fraction"] = mgh.dense_fraction
+    return res
+
+
 def docword_perf(dataset: str = "R8") -> dict:
     """Driver-captured SpMM perf on the R8 doc-word graph (3.45M edges):
     segment (XLA gather/segment-sum fallback) vs hybrid (degree-sorted
@@ -114,23 +334,48 @@ def docword_perf(dataset: str = "R8") -> dict:
     from textgcn_tpu.train.prepare import prepare_docword_data
 
     pre = prepare_docword_data(dataset, data_root="data")
+    probe = roofline_probe()
+    kernel_pass = kernel_pass_perf(pre, probe)
+    mesh_kernel = mesh_kernel_perf(pre)
     seg = time_train_epochs(pre, "segment")
     hyb = time_train_epochs(pre, "hybrid")
     # the speed-of-light reference for random-sparsity SpMM on this chip:
     # the measured single-sided random-row gather rate (gather_probe.py).
     # edges/s beyond the wall is only reachable by NOT gathering randomly —
     # which is exactly what the hybrid kernel's MXU tiles do.
-    gather_wall = (60e6, 130e6)
     out = {
         "graph": f"{dataset}_docword",
         "n_nodes": pre.n_nodes,
         "n_edges": pre.graph.n_edges,
+        "measurement_definitions": {
+            "kernel_pass": "ONE jitted A@X aggregation pass at F=200, "
+            "scalar readback per rep — the kernel number; "
+            "fraction_of_bound is measured against the in-session "
+            "roofline probe",
+            "epoch": "one epoch of the jitted _train_block (fwd 2 + bwd 2 "
+            "+ val 2 SpMM + Adam + metrics), 8 epochs per dispatch; "
+            "includes tunnel readback amortized /8 — tunnel-day variance "
+            "explains round-2's 59.9 vs 331 ms hybrid discrepancy (same "
+            "code, different day/definition; both recorded here)",
+            "mesh_kernel": "one pass of the sharded halo-ring bucket "
+            "layout through the Pallas one-hot kernel on a 1-device mesh "
+            "(per-shard rate on real hardware)",
+        },
+        "roofline": probe,
+        "kernel_pass": kernel_pass,
+        "mesh_kernel": mesh_kernel,
         "segment": seg,
         "hybrid": hyb,
         "speedup": seg["epoch_ms"] / hyb["epoch_ms"],
-        "gather_wall_rows_per_s": list(gather_wall),
-        "hybrid_vs_upper_gather_wall": hyb["edges_per_s"] / gather_wall[1],
     }
+    out["mesh_kernel"]["allgather_hybrid"]["vs_single_chip_hybrid_pass"] = (
+        mesh_kernel["allgather_hybrid"]["edges_per_s_per_shard"]
+        / kernel_pass["hybrid"]["edges_per_s"]
+    )
+    out["mesh_kernel"]["halo_onehot"]["vs_single_chip_onehot_pass"] = (
+        mesh_kernel["halo_onehot"]["edges_per_s_per_shard"]
+        / kernel_pass["onehot"]["edges_per_s"]
+    )
     log(
         f"[bench] {dataset} docword perf: segment {seg['epoch_ms']:.1f} "
         f"ms/epoch ({seg['edges_per_s'] / 1e6:.0f}M edges/s) | hybrid "
@@ -183,10 +428,80 @@ def streamed_scale_perf(
         "f": f,
         "full_pass_s": dt,
         "edges_per_s": e / dt,
+        "bound_model": "2 random-row ops per edge (gather + scatter-add) "
+        "at the gather wall",
     }
     log(
         f"[bench] streamed 10M/500M scale config: {dt:.1f} s per full "
         f"A@X pass ({e / dt / 1e6:.0f}M edges/s) on one chip"
+    )
+    return res
+
+
+def streamed_train_perf(
+    n: int = 10_000_000,
+    deg: int = 25,
+    f: int = 32,
+    h: int = 32,
+    c: int = 16,
+    chunk: int = 8_000_000,
+) -> dict:
+    """ONE full train step (fwd + bwd + Adam) at the BASELINE scale config
+    — 10M nodes, ~500M symmetric edges — on one chip via the streamed
+    symmetric-VJP SpMM (round-2 verdict item #3: the scale config must be
+    TRAINED through, not just inferred). 4 streamed passes per step."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    from synthetic_large import make_random_edge_fn
+
+    from textgcn_tpu.train.streamed import (
+        init_streamed,
+        make_streamed_train_step,
+        symmetrize_edge_fn,
+    )
+
+    gc.collect()
+    for a in jax.live_arrays():
+        a.delete()
+    jax.clear_caches()
+    e_dir = n * deg
+    n_chunks = -(-e_dir // chunk)
+    e_sym = 2 * e_dir
+    edge_fn = make_random_edge_fn(n, chunk)
+    sym_fn = symmetrize_edge_fn(edge_fn, n_chunks)
+    x = jax.jit(lambda k: jax.random.normal(k, (n, f), dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(0)
+    )
+    y = jax.jit(
+        lambda k: jax.random.randint(k, (n,), 0, c, dtype=jnp.int32)
+    )(jax.random.PRNGKey(1))
+    mask = jax.jit(
+        lambda k: (jax.random.uniform(k, (n,)) < 0.5).astype(jnp.float32)
+    )(jax.random.PRNGKey(2))
+    params, _, opt_state = init_streamed(jax.random.PRNGKey(3), f, h, c)
+    step = make_streamed_train_step(sym_fn, n, 2 * n_chunks)
+    params, opt_state, loss = step(params, opt_state, x, y, mask)
+    float(loss)  # compile + warmup readback
+    t0 = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state, x, y, mask)
+    loss_v = float(loss)
+    dt = time.perf_counter() - t0
+    res = {
+        "n_nodes": n,
+        "n_edges_sym": e_sym,
+        "f": f,
+        "hidden": h,
+        "s_per_step": dt,
+        "edges_per_s_fwdbwd": 4 * e_sym / dt,
+        "loss": loss_v,
+    }
+    log(
+        f"[bench] streamed TRAIN step at 10M/{e_sym // 1_000_000}M edges: "
+        f"{dt:.1f} s/step (4 streamed passes, loss={loss_v:.4f})"
     )
     return res
 
@@ -279,8 +594,18 @@ def main() -> int:
         perf = docword_perf("R8")
         try:
             perf["streamed_scale"] = streamed_scale_perf()
+            gw = perf["roofline"]["gather_rows_per_s"]
+            perf["streamed_scale"]["fraction_of_bound"] = perf[
+                "streamed_scale"
+            ]["edges_per_s"] / (gw / 2.0)
         except Exception as e:
             log(f"[bench] streamed scale section failed: {e!r}")
+        try:
+            if time.time() - t0 > 2700:
+                raise TimeoutError("wall-clock budget spent")
+            perf["streamed_train"] = streamed_train_perf()
+        except Exception as e:
+            log(f"[bench] streamed train section failed: {e!r}")
         with open(
             os.path.join("results", "perf_bench.json"), "w", encoding="utf-8"
         ) as f:

@@ -22,12 +22,85 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_train(args) -> int:
+    """Halo-partitioned TRAINING at ≥1M nodes on the 8-way mesh (round-2
+    verdict item #3's reduced-scale requirement): the full ShardedTrainer
+    semantics — scan-blocked epochs, psum'd loss, confusion-matrix eval,
+    ring ppermute aggregation — run for a few epochs at 1M nodes / ~2x
+    ``deg``M symmetrized edges. On the virtual CPU mesh the wall-clock
+    validates methodology (shared cores), not ICI bandwidth."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from textgcn_tpu.graph.normalize import sym_normalize_coo
+    from textgcn_tpu.graph.structs import SparseGraph
+    from textgcn_tpu.parallel.trainer import ShardedTrainer
+    from textgcn_tpu.train.trainer import TrainConfig
+
+    n, e = args.n, args.n * args.deg
+    rng = np.random.RandomState(0)
+    print(f"[train] building {n}-node graph, {e} directed edges",
+          file=sys.stderr, flush=True)
+    row = rng.randint(0, n, e)
+    col = rng.randint(0, n, e)
+    val = rng.rand(e)
+    r, c, v = sym_normalize_coo(row, col, val, n)
+    g = SparseGraph.from_coo(r, c, v, n, pad_to_multiple=8192)
+    x = rng.randn(n, args.f).astype(np.float32)
+    target = rng.randint(0, 16, n).astype(np.int64)
+    idx = np.arange(n)
+    is_train = rng.rand(n) < 0.5
+    t_part = time.perf_counter()
+    trainer = ShardedTrainer(
+        g, x, target, idx[is_train], idx[~is_train], 16,
+        config=TrainConfig(
+            n_hidden=args.f, max_epoch=args.epochs, early_stopping=100,
+            dropout=0.5, seed=0, epoch_block=args.epochs,
+        ),
+        n_shards=min(8, len(jax.devices())),
+        partition="halo",
+    )
+    part_s = time.perf_counter() - t_part
+    t0 = time.perf_counter()
+    trainer.fit(verbose=False)
+    fit_s = time.perf_counter() - t0
+    res = trainer.test()
+    print(
+        json.dumps(
+            {
+                "phase": "halo_sharded_training",
+                "n_nodes": n,
+                "n_edges_sym": g.n_edges,
+                "f": args.f,
+                "shards": trainer.n_shards,
+                "partition_s": part_s,
+                "epochs": len(trainer.history),
+                "s_per_epoch": fit_s / max(len(trainer.history), 1),
+                "edges_per_s_fwdbwd": 6 * g.n_edges
+                * len(trainer.history) / fit_s,
+                "final_train_loss": trainer.history[-1]["train_loss"],
+                "test_acc": res["acc"],
+            }
+        ),
+        flush=True,
+    )
+    assert np.isfinite(res["test_loss"])
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--virtual", action="store_true", help="8 virtual CPU devices")
     p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--deg", type=int, default=20)
     p.add_argument("--f", type=int, default=128)
+    p.add_argument(
+        "--train",
+        action="store_true",
+        help="full halo-partitioned ShardedTrainer run (use with "
+        "--n 1000000 --deg 8 --f 32 --epochs 2 on the virtual mesh)",
+    )
+    p.add_argument("--epochs", type=int, default=2)
     args = p.parse_args()
 
     if args.virtual:
@@ -39,6 +112,8 @@ def main() -> int:
 
     if args.virtual:
         jax.config.update("jax_platforms", "cpu")
+    if args.train:
+        return run_train(args)
     import jax.numpy as jnp
 
     from textgcn_tpu.graph.normalize import sym_normalize_coo

@@ -113,6 +113,66 @@ def test_sharded_onehot_trains(partition):
     assert abs(ts["acc"] - to["acc"]) < 0.1, (ts, to)
 
 
+def test_mesh_hybrid_matches_scipy():
+    """Per-shard hybrid (BSR tiles + one-hot residual) on the 8-mesh vs the
+    scipy oracle, forward and backward, with a nonempty residual leg."""
+    from textgcn_tpu.parallel.mesh_kernels import MeshHybridAllGather
+
+    rng = np.random.RandomState(0)
+    n, f = 700, 20
+    hub = rng.randint(0, 120, (4000, 2))
+    uni = rng.randint(0, n, (3000, 2))
+    rc = np.vstack([hub, uni])
+    row = np.r_[rc[:, 0], rc[:, 1]]
+    col = np.r_[rc[:, 1], rc[:, 0]]
+    val = np.ones_like(row, dtype=np.float64)
+    r, c, v = sym_normalize_coo(row, col, val, n)
+    g = SparseGraph.from_coo(r, c, v, n, pad_to_multiple=256)
+    a = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    x = rng.randn(n, f).astype(np.float32)
+    mesh = make_mesh(8)
+    mg = MeshHybridAllGather.from_graph(g, 8, min_nnz=200, k=128, w=8)
+    assert mg.onehot is not None and 0 < mg.dense_fraction < 1
+    xs = jax.device_put(
+        pad_features(x, mg.n_pad), NamedSharding(mesh, P("nodes", None))
+    )
+    out = np.asarray(spmm_mesh_onehot(mg, xs, mesh, True))[:n]
+    np.testing.assert_allclose(out, a @ x, rtol=0, atol=2e-2)
+    w = rng.randn(mg.n_pad, f).astype(np.float32)
+    dx = np.asarray(
+        jax.jit(
+            jax.grad(
+                lambda xx: jnp.sum(spmm_mesh_onehot(mg, xx, mesh, True) * w)
+            )
+        )(xs)
+    )[:n]
+    np.testing.assert_allclose(dx, a.T @ w[:n], rtol=0, atol=2e-2)
+
+
+def test_sharded_hybrid_trains_with_permutation():
+    """ShardedTrainer(kernel='hybrid'): the trainer degree-sorts and
+    permutes features/labels/splits internally — first-epoch loss matches
+    the segment mesh path (identical math up to kernel numerics) and test
+    accuracy agrees."""
+    g, x, target, tr, te, C = _data(seed=7)
+    seg = ShardedTrainer(
+        g, x, target, tr, te, C, config=CFG, n_shards=8,
+        partition="allgather", kernel="segment",
+    )
+    seg.fit(verbose=False)
+    hyb = ShardedTrainer(
+        g, x, target, tr, te, C, config=CFG, n_shards=8,
+        partition="allgather", kernel="hybrid",
+    )
+    assert hyb.perm is not None
+    hyb.fit(verbose=False)
+    assert abs(
+        hyb.history[0]["train_loss"] - seg.history[0]["train_loss"]
+    ) < 5e-3
+    ts, th = seg.test(), hyb.test()
+    assert abs(ts["acc"] - th["acc"]) < 0.1, (ts, th)
+
+
 def test_sharded_epoch_block_invariance():
     """The sharded trainer's scan-blocked epochs are bit-identical across
     block sizes (the single-device trainer pins the same property)."""

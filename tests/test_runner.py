@@ -190,8 +190,9 @@ def test_cli_train_sharded(tiny_root):
 
 
 def test_sharded_rejects_kernel_format_flag(tiny_root):
-    """--spmm hybrid + --shards is a config error (the sharded path owns its
-    per-shard layout) and must fail loud before any training."""
+    """--spmm bsr + --shards is a config error (the BSR/dense single-device
+    formats don't partition; the sharded path takes segment|onehot|hybrid)
+    and must fail loud before any training."""
     import pytest as _pytest
 
     from textgcn_tpu.train.run import run_experiment
@@ -199,7 +200,7 @@ def test_sharded_rejects_kernel_format_flag(tiny_root):
     with _pytest.raises(ValueError, match="sharded"):
         run_experiment("tiny", n_shards=2, config=__import__(
             "textgcn_tpu.train.trainer", fromlist=["TrainConfig"]
-        ).TrainConfig(spmm="hybrid"))
+        ).TrainConfig(spmm="bsr"))
 
 
 def test_runner_threads_epoch_block_and_validates(tiny_root):

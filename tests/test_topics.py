@@ -137,3 +137,18 @@ def test_topic_model_phi_fallback_without_w2v():
     emb = tm.get_topic_embeddings()
     # fallback: raw phi rows, dim == vocab size
     assert emb.shape[1] == len(tm.vocabulary_)
+
+
+def test_jax_lda_streaming_matches_pinned():
+    """fit() with pin_bytes_limit=0 (forced chunk streaming — the
+    large-corpus path) must produce bit-identical components to the
+    default pinned-HBM path: residency is a transfer strategy, not a
+    numerics change."""
+    docs, _ = _toy_corpus()
+    v = CountVectorizer(min_df=1, max_df=1.0)
+    dtm = v.fit_transform(docs)
+    pinned = LDA(n_components=3, max_iter=8, random_state=0,
+                 chunk_size=16).fit(dtm)
+    streamed = LDA(n_components=3, max_iter=8, random_state=0,
+                   chunk_size=16, pin_bytes_limit=0).fit(dtm)
+    np.testing.assert_array_equal(pinned.components_, streamed.components_)

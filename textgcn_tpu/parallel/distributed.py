@@ -11,9 +11,12 @@ slice and DCN across slices. No hand-written transport exists anywhere in
 this framework; the collectives ARE the backend.
 
 Single-chip/single-host runs never need this module. See
-``docs/DISTRIBUTED.md`` for the launch recipe (untestable in this
-single-chip environment; the logic below is unit-tested for env parsing
-and no-op behavior).
+``docs/DISTRIBUTED.md`` for the launch recipe. The multi-process path is
+EXECUTED in the test suite: tests/test_distributed.py launches two real OS
+processes with a localhost coordinator (4 virtual CPU devices each), runs
+``init_distributed`` in each, and trains one sharded step over the global
+8-device mesh, asserting loss parity with the single-process run — the
+same code path a TPU pod takes, minus ICI.
 """
 from __future__ import annotations
 

@@ -147,9 +147,17 @@ class MeshOneHotAllGather:
         k: int = 512,
         w: int = 256,
         symmetric: bool = True,
+        rows_per_shard: int = None,
     ) -> "MeshOneHotAllGather":
         row, col, val = _coo_of(g)
-        rps, n_pad = _shard_geometry(g.n_nodes, n_shards)
+        if rows_per_shard is None:
+            rps, n_pad = _shard_geometry(g.n_nodes, n_shards)
+        else:
+            # caller-imposed geometry (e.g. the hybrid layout's bm-aligned
+            # row blocks) — must cover the node count
+            rps = int(rows_per_shard)
+            n_pad = rps * n_shards
+            assert n_pad >= g.n_nodes
         k, w = _plan_kw(rps, k, w)
         plans = []
         for p in range(n_shards):
@@ -356,21 +364,304 @@ def _halo_impl(
     )(mg.col, mg.val, mg.lrow, mg.wloc, x)
 
 
+# ---------------------------------------------------------------------------
+# Per-shard HYBRID (BSR MXU tiles + one-hot residual) on the mesh
+# ---------------------------------------------------------------------------
+#
+# The single-chip story's fastest kernel is the degree-sorted hybrid
+# (graph/reorder.py): dense 128x128 tiles chew clustered edges on the MXU
+# at >500M edges/s, the uniform residual streams through the one-hot
+# kernel at the gather wall. This carries that onto the mesh (allgather
+# layout): each shard's local-row/global-col edge set is split by tile
+# occupancy; its dense tiles become a shard-local BSR leg (padded to a
+# uniform tile count with zero tiles so the [P, T, bm, bn] stack has
+# static shape), the residual becomes a shard-local one-hot plan. One
+# all_gather of the feature rows feeds both legs.
+#
+# The halo layout intentionally stays one-hot-only: P^2 BSR buckets would
+# multiply the zero-tile padding, and the halo path's reason to exist is
+# O(N/P) memory, not peak tile throughput.
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blocks", "rows", "cols"],
+    meta_fields=["bm", "bn", "n_local_brows", "t_per_shard"],
+)
+@dataclasses.dataclass(frozen=True)
+class _MeshBSRLeg:
+    """Stacked per-shard BSR tiles: local block-rows, GLOBAL block-cols."""
+
+    blocks: jnp.ndarray  # [P, T, bm, bn]
+    rows: jnp.ndarray  # [P, T] int32 local block-row, ascending
+    cols: jnp.ndarray  # [P, T] int32 global block-col
+    bm: int
+    bn: int
+    n_local_brows: int
+    t_per_shard: int
+
+
+def _build_bsr_leg(
+    row, col, val, rps: int, n_pad: int, n_shards: int, bm: int, bn: int
+) -> _MeshBSRLeg:
+    """Host-side: per-shard dense-tile lists with uniform static shapes.
+
+    Every local block-row is covered (zero tile at col 0 if empty) so the
+    kernel's zero-on-first-visit output init is safe; per-shard tile lists
+    pad to the max count with zero tiles on the LAST local block-row
+    (keeps the ascending-row requirement)."""
+    n_lbr = rps // bm
+    assert rps % bm == 0 and n_pad % bn == 0
+    n_bcols = n_pad // bn
+    shard_tiles = []
+    for p in range(n_shards):
+        sel = row // rps == p
+        r = row[sel] - p * rps
+        c = col[sel]
+        v = val[sel]
+        br = r // bm
+        bc = c // bn
+        key = br * n_bcols + bc
+        uniq, inv = np.unique(key, return_inverse=True)
+        present = np.zeros(n_lbr, dtype=bool)
+        if len(uniq):
+            present[(uniq // n_bcols).astype(np.int64)] = True
+        missing = np.nonzero(~present)[0]
+        if len(missing):
+            uniq2 = np.sort(np.concatenate([uniq, missing * n_bcols]))
+        else:
+            uniq2 = uniq
+        blocks = np.zeros((len(uniq2), bm, bn), dtype=np.float32)
+        if len(uniq):
+            b_of_e = np.searchsorted(uniq2, key)
+            np.add.at(
+                blocks,
+                (b_of_e, r - (uniq2[b_of_e] // n_bcols) * bm,
+                 c - (uniq2[b_of_e] % n_bcols) * bn),
+                v,
+            )
+        shard_tiles.append(
+            (blocks, (uniq2 // n_bcols).astype(np.int32),
+             (uniq2 % n_bcols).astype(np.int32))
+        )
+    t_max = max(max(len(t[1]) for t in shard_tiles), 1)
+    bks = np.zeros((n_shards, t_max, bm, bn), dtype=np.float32)
+    rws = np.full((n_shards, t_max), n_lbr - 1, dtype=np.int32)
+    cls_ = np.zeros((n_shards, t_max), dtype=np.int32)
+    for p, (b, r_, c_) in enumerate(shard_tiles):
+        k = len(r_)
+        bks[p, :k] = b
+        rws[p, :k] = r_
+        cls_[p, :k] = c_
+    return _MeshBSRLeg(
+        blocks=jnp.asarray(bks, dtype=jnp.bfloat16),
+        rows=jnp.asarray(rws),
+        cols=jnp.asarray(cls_),
+        bm=int(bm),
+        bn=int(bn),
+        n_local_brows=int(n_lbr),
+        t_per_shard=int(t_max),
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bsr", "onehot"],
+    meta_fields=[
+        "n_nodes", "n_edges", "n_pad", "rows_per_shard", "n_shards",
+        "symmetric", "bsr_edges",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class MeshHybridAllGather:
+    """Per-shard hybrid layout: BSR tile leg + one-hot residual leg.
+
+    ``onehot`` is a :class:`MeshOneHotAllGather` over the residual edges
+    (or ``None`` when every edge landed in a dense tile). Build from a
+    DEGREE-SORTED graph for real tile density (ShardedTrainer's
+    kernel="hybrid" applies the permutation to features/labels itself).
+    """
+
+    bsr: _MeshBSRLeg
+    onehot: object  # MeshOneHotAllGather | None
+    n_nodes: int
+    n_edges: int
+    n_pad: int
+    rows_per_shard: int
+    n_shards: int
+    symmetric: bool
+    bsr_edges: int
+
+    @staticmethod
+    def from_graph(
+        g: SparseGraph,
+        n_shards: int,
+        bm: int = 128,
+        bn: int = 128,
+        min_nnz: int = 64,
+        k: int = 512,
+        w: int = 256,
+        symmetric: bool = True,
+    ) -> "MeshHybridAllGather":
+        from textgcn_tpu.graph.reorder import tile_fill_threshold_split
+
+        row, col, val = _coo_of(g)
+        rps, n_pad = _shard_geometry(g.n_nodes, n_shards)
+        # tile alignment: local row blocks must tile by bm, global cols by bn
+        rps = _round_up(rps, bm)
+        n_pad = rps * n_shards
+        dense_mask = tile_fill_threshold_split(
+            row, col, n_pad, bm=bm, bn=bn, min_nnz=min_nnz
+        )
+        bsr = _build_bsr_leg(
+            row[dense_mask], col[dense_mask], val[dense_mask],
+            rps, n_pad, n_shards, bm, bn,
+        )
+        rest = None
+        n_rest = int((~dense_mask).sum())
+        if n_rest:
+            rest_graph = SparseGraph.from_coo(
+                row[~dense_mask], col[~dense_mask], val[~dense_mask],
+                g.n_nodes, pad_to_multiple=256,
+            )
+            # geometry must agree with the BSR leg's bm-aligned rps
+            rest = MeshOneHotAllGather.from_graph(
+                rest_graph, n_shards, k=k, w=w, symmetric=symmetric,
+                rows_per_shard=rps,
+            )
+        return MeshHybridAllGather(
+            bsr=bsr,
+            onehot=rest,
+            n_nodes=g.n_nodes,
+            n_edges=g.n_edges,
+            n_pad=int(n_pad),
+            rows_per_shard=int(rps),
+            n_shards=int(n_shards),
+            symmetric=bool(symmetric),
+            bsr_edges=int(dense_mask.sum()),
+        )
+
+    @property
+    def dense_fraction(self) -> float:
+        return self.bsr_edges / max(self.n_edges, 1)
+
+
+def _shard_bsr_kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
+    """One 128x128 tile per grid step; output tile VMEM-resident across
+    consecutive tiles of a block-row (same scheme as ops/pallas_spmm.py,
+    here over the shard-local output and the gathered global x)."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    is_new_row = jnp.logical_or(
+        i == 0, rows_ref[jnp.maximum(i - 1, 0)] != rows_ref[i]
+    )
+
+    @pl.when(is_new_row)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    o_ref[...] += jax.lax.dot(
+        a_ref[0], x_ref[...], preferred_element_type=jnp.float32
+    )
+
+
+def _bsr_leg_apply(leg: _MeshBSRLeg, rows, cols, blocks, xp, interpret):
+    """Shard-local BSR pass: [T] tiles against gathered xp [n_padc, f_pad],
+    producing the shard's [rps, f_pad] rows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm, bn = leg.bm, leg.bn
+    f_pad = xp.shape[1]
+    t = leg.t_per_shard
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, bm, bn), lambda i, r, c: (i, 0, 0)),
+            pl.BlockSpec((bn, f_pad), lambda i, r, c: (c[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, f_pad), lambda i, r, c: (r[i], 0)),
+    )
+    return pl.pallas_call(
+        _shard_bsr_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (leg.n_local_brows * bm, f_pad), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * bm * bn * f_pad,
+            bytes_accessed=t
+            * (bm * bn * 2 + bn * f_pad * xp.dtype.itemsize)
+            + leg.n_local_brows * bm * f_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rows, cols, blocks, xp)
+
+
+def _allgather_hybrid_impl(
+    mg: MeshHybridAllGather, x: jnp.ndarray, mesh: Mesh, interpret: bool
+) -> jnp.ndarray:
+    leg = mg.bsr
+    oh = mg.onehot
+    f = x.shape[1]
+    f_pad = _round_up(f, 128)
+
+    def body(blocks_b, rows_b, cols_b, oh_args, x_local):
+        x_full = jax.lax.all_gather(x_local, AXIS, axis=0, tiled=True)
+        xp = x_full
+        if f != f_pad:
+            xp = jnp.pad(xp, ((0, 0), (0, f_pad - f)))
+        out = _bsr_leg_apply(
+            leg, rows_b[0], cols_b[0], blocks_b[0],
+            xp.astype(jnp.bfloat16), interpret,
+        )[: mg.rows_per_shard, :f]
+        if oh is not None:
+            col_b, val_b, lrow_b, wloc_b = oh_args
+            plan = _local_plan(oh, col_b[0], val_b[0], lrow_b[0], wloc_b[0])
+            out = out + _spmm_onehot_impl(plan, x_full, interpret)
+        return out
+
+    oh_arrays = (
+        (oh.col, oh.val, oh.lrow, oh.wloc)
+        if oh is not None
+        else (
+            jnp.zeros((mg.n_shards, 1)),
+        ) * 4
+    )
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS), P(AXIS), P(AXIS),
+            (P(AXIS),) * 4,
+            P(AXIS, None),
+        ),
+        out_specs=P(AXIS, None),
+        check_vma=False,
+    )(leg.blocks, leg.rows, leg.cols, oh_arrays, x)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def spmm_mesh_onehot(
     mg, x: jnp.ndarray, mesh: Mesh, interpret: bool = False
 ) -> jnp.ndarray:
-    """``Â @ x`` on the mesh through the one-hot MXU kernel.
+    """``Â @ x`` on the mesh through the Pallas kernels.
 
-    ``mg``: :class:`MeshOneHotAllGather` or :class:`MeshOneHotHalo`
-    (dispatches on type). ``x``: [n_pad, F] row-sharded over ``mesh``.
-    Differentiable in ``x``; requires a symmetric Â (sym-normalized
-    adjacencies always are) — the cotangent Âᵀ g = Â g is the same mesh
-    operator applied to ``g``, so the backward pays exactly one more
-    kernel+collective pass and stores no edge-sized residuals.
+    ``mg``: :class:`MeshOneHotAllGather`, :class:`MeshOneHotHalo`, or
+    :class:`MeshHybridAllGather` (dispatches on type). ``x``: [n_pad, F]
+    row-sharded over ``mesh``. Differentiable in ``x``; requires a
+    symmetric Â (sym-normalized adjacencies always are) — the cotangent
+    Âᵀ g = Â g is the same mesh operator applied to ``g``, so the
+    backward pays exactly one more kernel+collective pass and stores no
+    edge-sized residuals.
     """
     if isinstance(mg, MeshOneHotHalo):
         return _halo_impl(mg, x, mesh, interpret)
+    if isinstance(mg, MeshHybridAllGather):
+        return _allgather_hybrid_impl(mg, x, mesh, interpret)
     return _allgather_impl(mg, x, mesh, interpret)
 
 

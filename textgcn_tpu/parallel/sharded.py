@@ -103,12 +103,15 @@ def sharded_gcn_forward(
     """
     from textgcn_tpu.parallel.halo import HaloPartitionedGraph, spmm_halo
     from textgcn_tpu.parallel.mesh_kernels import (
+        MeshHybridAllGather,
         MeshOneHotAllGather,
         MeshOneHotHalo,
         spmm_mesh_onehot,
     )
 
-    if isinstance(pg, (MeshOneHotAllGather, MeshOneHotHalo)):
+    if isinstance(
+        pg, (MeshOneHotAllGather, MeshOneHotHalo, MeshHybridAllGather)
+    ):
         # Pallas one-hot MXU kernels on the mesh (interpret-mode pure-XLA
         # lowering off-TPU, same numerics — mirrors ops/spmm.spmm)
         interpret = jax.default_backend() != "tpu"

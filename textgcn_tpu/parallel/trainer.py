@@ -97,10 +97,13 @@ class ShardedTrainer:
     ``n_shards``: mesh size (default: all visible devices).
     ``partition``: "halo" (ring ppermute, O(N/P·F) memory — the scaling
     path) or "allgather" (O(N·F) per chip, fewer hops on small graphs).
-    ``kernel``: "segment" (XLA gather+segment-sum per shard) or "onehot"
+    ``kernel``: "segment" (XLA gather+segment-sum per shard), "onehot"
     (Pallas one-hot MXU segment-reduce per shard/bucket —
-    :mod:`textgcn_tpu.parallel.mesh_kernels`; the single-chip fast path
-    carried onto the mesh).
+    :mod:`textgcn_tpu.parallel.mesh_kernels`), or "hybrid"
+    (degree-sorted per-shard BSR MXU tiles + one-hot residual, allgather
+    partition only; the trainer applies the degree-sort permutation to
+    features/labels/splits itself — the single-chip fast path carried
+    onto the mesh).
     ``config.model``: "gcn" or "gat" (GAT needs partition="allgather" +
     kernel="segment": its attention softmax runs over the shard-local COO
     edge stream).
@@ -133,17 +136,57 @@ class ShardedTrainer:
                 "kernel (per-row attention softmax over the local COO edge "
                 "stream)"
             )
-        if kernel == "onehot":
+        self.perm = None
+        if kernel == "hybrid":
+            # degree-sort so edges concentrate into MXU tiles (same
+            # structural move as the single-chip hybrid, graph/reorder.py);
+            # features/labels/splits are permuted consistently below, so
+            # training semantics are unchanged: P Â Pᵀ (P x) = P (Â x)
+            if partition != "allgather":
+                raise ValueError(
+                    "kernel='hybrid' runs on the allgather partition (the "
+                    "halo ring stays one-hot — P^2 BSR buckets would "
+                    "multiply zero-tile padding)"
+                )
+            from textgcn_tpu.graph.reorder import degree_sort_permutation
+
+            e = graph.n_edges
+            row = np.asarray(graph.row)[:e]
+            col = np.asarray(graph.col)[:e]
+            val = np.asarray(graph.val)[:e]
+            perm = degree_sort_permutation(row, col, graph.n_nodes)
+            graph = SparseGraph.from_coo(
+                perm[row], perm[col], val, graph.n_nodes,
+                pad_to_multiple=256,
+            )
+            if features is not None:
+                f2 = np.zeros_like(np.asarray(features, dtype=np.float32))
+                f2[perm] = np.asarray(features, dtype=np.float32)
+                features = f2
+            t2 = np.zeros((graph.n_nodes,), dtype=np.asarray(target).dtype)
+            t2[perm[: len(np.asarray(target))]] = np.asarray(target)
+            target = t2
+            train_idx = perm[np.asarray(train_idx)]
+            test_idx = perm[np.asarray(test_idx)]
+            self.perm = perm
+        if kernel in ("onehot", "hybrid"):
             from textgcn_tpu.parallel.mesh_kernels import (
+                MeshHybridAllGather,
                 MeshOneHotAllGather,
                 MeshOneHotHalo,
             )
 
-            cls = (
-                MeshOneHotHalo if partition == "halo" else MeshOneHotAllGather
-            )
             if partition not in ("halo", "allgather"):
                 raise ValueError(f"unknown partition strategy: {partition}")
+            cls = (
+                MeshHybridAllGather
+                if kernel == "hybrid"
+                else (
+                    MeshOneHotHalo
+                    if partition == "halo"
+                    else MeshOneHotAllGather
+                )
+            )
             self.pg = cls.from_graph(graph, self.n_shards)
         elif kernel != "segment":
             raise ValueError(f"unknown mesh kernel: {kernel}")

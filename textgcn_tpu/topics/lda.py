@@ -18,8 +18,12 @@ Gamma(100, 0.01) random initialization of lambda and gamma (drawn with numpy
 ``RandomState(random_state)`` for reproducibility parity).
 
 Documents are processed in fixed-size chunks (padded) so the E-step jits once
-with static shapes; chunks stream through the device, keeping HBM bounded for
-large corpora.
+with static shapes. Device residency is adaptive (``pin_bytes_limit``): small
+corpora (every real text dataset here) are densified once and PINNED in HBM
+for the whole EM run — re-transferring identical counts every iteration
+dominated fit() wall-clock through the slow host link — while corpora whose
+densified matrix exceeds the limit stream chunk-by-chunk each iteration,
+keeping HBM usage bounded at one chunk.
 """
 from __future__ import annotations
 
@@ -108,6 +112,7 @@ class LDA:
         mean_change_tol: float = 1e-3,
         max_doc_update_iter: int = 100,
         verbose: bool = False,
+        pin_bytes_limit: int = 2 << 30,
     ):
         self.n_components = int(n_components)
         self.max_iter = int(max_iter)
@@ -118,6 +123,9 @@ class LDA:
         self.mean_change_tol = float(mean_change_tol)
         self.max_doc_update_iter = int(max_doc_update_iter)
         self.verbose = verbose
+        # fit() pins the densified corpus in HBM below this (uint16 D×V)
+        # byte count; above it, chunks stream per EM iteration
+        self.pin_bytes_limit = int(pin_bytes_limit)
         self.components_: Optional[np.ndarray] = None  # [K, V] lambda
 
     # -- helpers ----------------------------------------------------------
@@ -132,13 +140,31 @@ class LDA:
             yield lo, hi, chunk
 
     def _device_chunks(self, x: sp.csr_matrix):
-        """Densified doc chunks, placed on device ONCE and reused across all
-        EM iterations — re-transferring identical counts every iteration
-        dominated fit() wall-clock on larger corpora (host→HBM is the
-        bottleneck, not the E-step matmuls)."""
-        return [
-            (lo, hi, jnp.asarray(chunk)) for lo, hi, chunk in self._chunks(x)
-        ]
+        """Chunk iterator for fit(), with adaptive device residency.
+
+        When the densified corpus fits ``pin_bytes_limit`` (uint16 D×V —
+        true for every real text dataset in this repo), chunks are placed
+        on device ONCE and reused across all EM iterations:
+        re-transferring identical counts every iteration dominated fit()
+        wall-clock (host→HBM is the bottleneck, not the E-step matmuls).
+        Above the limit this returns a RE-ITERABLE lazy generator — each
+        EM iteration re-uploads chunk by chunk and HBM holds at most one
+        chunk, which is what keeps genuinely large corpora feasible."""
+        n_bytes = 2 * x.shape[0] * x.shape[1]  # uint16 densified
+        if n_bytes <= self.pin_bytes_limit:
+            return [
+                (lo, hi, jnp.asarray(chunk))
+                for lo, hi, chunk in self._chunks(x)
+            ]
+
+        outer = self
+
+        class _Stream:
+            def __iter__(self):
+                for lo, hi, chunk in outer._chunks(x):
+                    yield lo, hi, jnp.asarray(chunk)
+
+        return _Stream()
 
     def _priors(self):
         k = self.n_components

@@ -82,16 +82,20 @@ def run_experiment(
         "auto",
         "segment",
         "onehot",
+        "hybrid",
     ):
         raise ValueError(
             "with --shards, the sharded path accepts --spmm auto|segment "
-            "(XLA per-shard aggregation) or onehot (Pallas one-hot MXU "
-            "mesh kernels); other single-device formats don't partition"
+            "(XLA per-shard aggregation), onehot (Pallas one-hot MXU mesh "
+            "kernels), or hybrid (degree-sorted per-shard BSR tiles + "
+            "one-hot residual; needs --partition allgather); other "
+            "single-device formats don't partition"
         )
-    # mesh aggregation kernel: --spmm onehot routes the sharded path through
-    # the Pallas one-hot MXU segment-reduce (parallel/mesh_kernels.py)
+    # mesh aggregation kernel: --spmm onehot|hybrid routes the sharded path
+    # through the Pallas mesh kernels (parallel/mesh_kernels.py)
     mesh_kernel = (
-        "onehot" if (n_shards is not None and config.spmm == "onehot")
+        config.spmm
+        if (n_shards is not None and config.spmm in ("onehot", "hybrid"))
         else "segment"
     )
     if getattr(config, "model", "gcn") == "gat" and config.spmm not in (

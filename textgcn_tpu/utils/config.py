@@ -43,7 +43,9 @@ class TrainSection:
     # appnp (sgc_pre hoists propagation out of training via sgc_precompute)
     model: str = "gcn"
     # sharded training: mesh size (None = single device) and aggregation
-    # layout (halo ppermute ring | allgather | halo_hybrid)
+    # layout (halo ppermute ring | allgather). With shards set, `spmm`
+    # additionally selects the mesh kernel: segment (XLA), onehot or
+    # hybrid (Pallas mesh kernels, parallel/mesh_kernels.py).
     shards: Optional[int] = None
     partition: str = "halo"
 
