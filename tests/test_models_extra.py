@@ -193,3 +193,64 @@ def test_sgc_through_other_spmm_formats(fmt):
     grads = jax.grad(loss)(params)
     assert np.isfinite(np.asarray(grads["lin"]["w"])).all()
     assert float(jnp.max(jnp.abs(grads["lin"]["w"]))) > 0.0
+
+
+def test_sage_matches_dense_oracle():
+    """GraphSAGE layer: x W_self + Â (x W_neigh) + b, two layers + ReLU."""
+    from textgcn_tpu.models.sage import sage_forward, sage_init
+
+    g, rng = _graph(seed=9)
+    n, f, h, c = g.n_nodes, 7, 8, 4
+    x = rng.randn(n, f).astype(np.float32)
+    params = sage_init(jax.random.PRNGKey(7), f, h, c)
+    got = np.asarray(sage_forward(params, g, jnp.asarray(x), train=False))
+    a = np.asarray(g.to_scipy().todense())
+
+    def layer(p, xx):
+        return (
+            xx @ np.asarray(p["w_self"])
+            + a @ (xx @ np.asarray(p["w_neigh"]))
+            + np.asarray(p["b"])
+        )
+
+    h1 = np.maximum(layer(params["sage1"], x), 0.0)
+    want = layer(params["sage2"], h1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sage_identity_features():
+    from textgcn_tpu.models.sage import sage_forward, sage_init
+
+    g, rng = _graph(n=24, e0=60, seed=10)
+    params = sage_init(jax.random.PRNGKey(8), g.n_nodes, 6, 2)
+    got = np.asarray(sage_forward(params, g, None, train=False))
+    a = np.asarray(g.to_scipy().todense())
+    p1, p2 = params["sage1"], params["sage2"]
+    h1 = np.maximum(
+        np.asarray(p1["w_self"]) + a @ np.asarray(p1["w_neigh"])
+        + np.asarray(p1["b"]),
+        0.0,
+    )
+    want = (
+        h1 @ np.asarray(p2["w_self"])
+        + a @ (h1 @ np.asarray(p2["w_neigh"]))
+        + np.asarray(p2["b"])
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sage_trains_end_to_end_via_registry():
+    from textgcn_tpu.train.trainer import TrainConfig, Trainer
+
+    g, x, y = _separable_problem(seed=11)
+    n = g.n_nodes
+    idx = np.random.RandomState(0).permutation(n)
+    cfg = TrainConfig(
+        n_hidden=16, max_epoch=60, early_stopping=60, dropout=0.0,
+        seed=0, epoch_block=10, model="sage", lr=0.05,
+    )
+    t = Trainer(g, x, y, idx[:40], idx[40:], 2, config=cfg)
+    t.fit(verbose=False)
+    assert t.history[-1]["train_loss"] < t.history[0]["train_loss"]
+    res = t.test()
+    assert res["acc"] > 0.6

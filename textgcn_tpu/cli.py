@@ -263,13 +263,14 @@ def main(argv=None) -> int:
     p.add_argument(
         "--model",
         default="gcn",
-        choices=["gcn", "gat", "sgc", "sgc_pre", "appnp"],
+        choices=["gcn", "gat", "sgc", "sgc_pre", "appnp", "sage"],
         help="model family: gcn (fixed normalized adjacency), gat "
         "(per-edge attention via weighted segment softmax; requires "
         "--spmm segment), sgc (linear A^2XW classifier), sgc_pre "
         "(SGC with A^2X hoisted out of training — the compiled step is "
         "gather-free; topic graphs only), appnp "
-        "(MLP + 10-step personalized-PageRank propagation)",
+        "(MLP + 10-step personalized-PageRank propagation), sage "
+        "(GraphSAGE mean aggregator: separate self/neighbor transforms)",
     )
     p.add_argument(
         "--shards",

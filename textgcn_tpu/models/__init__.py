@@ -7,6 +7,7 @@ from textgcn_tpu.models.sgc import (  # noqa: F401
     sgc_pre_forward,
 )
 from textgcn_tpu.models.appnp import appnp_init, appnp_forward  # noqa: F401
+from textgcn_tpu.models.sage import sage_init, sage_forward  # noqa: F401
 
 # Model-family registry: name -> (init, forward) with the uniform
 # signatures init(key, n_feat, n_hidden, n_class) and
@@ -21,4 +22,7 @@ MODELS = {
     # the compiled train step is gather-free
     "sgc_pre": (sgc_init, sgc_pre_forward),
     "appnp": (appnp_init, appnp_forward),
+    # GraphSAGE mean aggregator: separate self/neighbor transforms per
+    # layer — the node's own features are not degree-diluted
+    "sage": (sage_init, sage_forward),
 }

@@ -66,20 +66,30 @@ def partition_rows_halo(
     n_pad = rps * n_shards
     p_of = row // rps
     q_of = col // rps
-    counts = np.zeros((n_shards, n_shards), dtype=np.int64)
-    np.add.at(counts, (p_of, q_of), 1)
+    bucket = p_of * n_shards + q_of
+    counts = np.bincount(bucket, minlength=n_shards * n_shards)
     e_b = _round_up(max(int(counts.max()), 1), pad_edges_to_multiple)
 
-    prow = np.full((n_shards, n_shards, e_b), rps, dtype=np.int32)
-    pcol = np.full((n_shards, n_shards, e_b), rps, dtype=np.int32)
-    pval = np.zeros((n_shards, n_shards, e_b), dtype=np.asarray(val).dtype)
-    for p in range(n_shards):
-        for q in range(n_shards):
-            sel = (p_of == p) & (q_of == q)
-            k = int(sel.sum())
-            prow[p, q, :k] = (row[sel] - p * rps).astype(np.int32)
-            pcol[p, q, :k] = (col[sel] - q * rps).astype(np.int32)
-            pval[p, q, :k] = val[sel]
+    # single stable sort + one vectorized scatter — O(E log E), not the
+    # O(P^2 E) per-bucket boolean masks (which dominate host time at the
+    # 500M-edge scale config)
+    order = np.argsort(bucket, kind="stable")
+    bs = bucket[order]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    pos_in_bucket = np.arange(e, dtype=np.int64) - offsets[bs]
+    dst = bs * e_b + pos_in_bucket
+
+    prow = np.full((n_shards * n_shards * e_b,), rps, dtype=np.int32)
+    pcol = np.full((n_shards * n_shards * e_b,), rps, dtype=np.int32)
+    pval = np.zeros(
+        (n_shards * n_shards * e_b,), dtype=np.asarray(val).dtype
+    )
+    prow[dst] = (row[order] - (bs // n_shards) * rps).astype(np.int32)
+    pcol[dst] = (col[order] - (bs % n_shards) * rps).astype(np.int32)
+    pval[dst] = val[order]
+    prow = prow.reshape(n_shards, n_shards, e_b)
+    pcol = pcol.reshape(n_shards, n_shards, e_b)
+    pval = pval.reshape(n_shards, n_shards, e_b)
     return HaloPartitionedGraph(
         row=jnp.asarray(prow),
         col=jnp.asarray(pcol),

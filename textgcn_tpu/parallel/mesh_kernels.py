@@ -159,14 +159,22 @@ class MeshOneHotAllGather:
             n_pad = rps * n_shards
             assert n_pad >= g.n_nodes
         k, w = _plan_kw(rps, k, w)
+        # one sort, then per-shard contiguous slices (not P boolean masks
+        # over the full edge list — matters at the 500M-edge scale)
+        p_of = row // rps
+        order = np.argsort(p_of, kind="stable")
+        row, col, val = row[order], col[order], val[order]
+        offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(p_of[order], minlength=n_shards))]
+        )
         plans = []
         for p in range(n_shards):
-            sel = row // rps == p
+            sl = slice(offs[p], offs[p + 1])
             plans.append(
                 build_onehot_plan(
-                    row[sel] - p * rps,
-                    col[sel],
-                    val[sel],
+                    row[sl] - p * rps,
+                    col[sl],
+                    val[sl],
                     rps,
                     k=k,
                     w=w,
@@ -236,18 +244,26 @@ class MeshOneHotHalo:
         row, col, val = _coo_of(g)
         rps, n_pad = _shard_geometry(g.n_nodes, n_shards)
         k, w = _plan_kw(rps, k, w)
-        p_of = row // rps
-        q_of = col // rps
+        # one sort over (owner, source) buckets, then contiguous slices
+        bucket = (row // rps) * n_shards + col // rps
+        order = np.argsort(bucket, kind="stable")
+        row, col, val = row[order], col[order], val[order]
+        offs = np.concatenate(
+            [[0], np.cumsum(
+                np.bincount(bucket[order], minlength=n_shards * n_shards)
+            )]
+        )
         plans = []
         for p in range(n_shards):
             prow = []
             for q in range(n_shards):
-                sel = (p_of == p) & (q_of == q)
+                b = p * n_shards + q
+                sl = slice(offs[b], offs[b + 1])
                 prow.append(
                     build_onehot_plan(
-                        row[sel] - p * rps,
-                        col[sel] - q * rps,
-                        val[sel],
+                        row[sl] - p * rps,
+                        col[sl] - q * rps,
+                        val[sl],
                         rps,
                         k=k,
                         w=w,
@@ -413,12 +429,18 @@ def _build_bsr_leg(
     n_lbr = rps // bm
     assert rps % bm == 0 and n_pad % bn == 0
     n_bcols = n_pad // bn
+    p_of = row // rps
+    order = np.argsort(p_of, kind="stable")
+    row, col, val = row[order], col[order], val[order]
+    offs = np.concatenate(
+        [[0], np.cumsum(np.bincount(p_of[order], minlength=n_shards))]
+    )
     shard_tiles = []
     for p in range(n_shards):
-        sel = row // rps == p
-        r = row[sel] - p * rps
-        c = col[sel]
-        v = val[sel]
+        sl = slice(offs[p], offs[p + 1])
+        r = row[sl] - p * rps
+        c = col[sl]
+        v = val[sl]
         br = r // bm
         bc = c // bn
         key = br * n_bcols + bc
