@@ -100,7 +100,8 @@ def time_train_epochs(pre, fmt: str, n_epochs: int = 8) -> dict:
     }
 
 
-def roofline_probe() -> dict:
+def roofline_probe(n: int = 1 << 28, nt: int = 1_000_000,
+                   ng: int = 4_000_000) -> dict:
     """In-session machine bounds (round-2 verdict item #2): measure the
     chip's HBM stream bandwidth and random-row gather rate HERE, in the
     same process and tunnel conditions as the kernel timings, so every
@@ -113,7 +114,6 @@ def roofline_probe() -> dict:
     res = {}
     # HBM stream BW: elementwise y = a*x + b over 1 GiB (reads + writes
     # 2 GiB per pass). Chained applications, single tiny readback.
-    n = 1 << 28
     x = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.float32))(
         jax.random.PRNGKey(0)
     )
@@ -134,7 +134,7 @@ def roofline_probe() -> dict:
     # the 512-byte-granule random-read wall that bounds uniform-sparsity
     # SpMM (independent of row width per gather_probe.py: the wall is
     # granule-count-bound, not byte-bound)
-    nt, fd, ng = 1_000_000, 128, 4_000_000
+    fd = 128
     tbl = jax.jit(lambda k: jax.random.normal(k, (nt, fd), jnp.float32))(
         jax.random.PRNGKey(1)
     )
@@ -280,17 +280,18 @@ def mesh_kernel_perf(pre, f: int = 200, reps: int = 5) -> dict:
     mesh = make_mesh(1)
     e = pre.graph.n_edges
     res = {}
+    interp = jax.default_backend() != "tpu"  # CPU smoke tests interpret
 
     def time_layout(mg, label):
         x = jax.jit(
             lambda k: jax.random.normal(k, (mg.n_pad, f), jnp.float32)
         )(jax.random.PRNGKey(4))
         xs = jax.device_put(x, NamedSharding(mesh, P("nodes", None)))
-        y = spmm_mesh_onehot(mg, xs, mesh, False)
+        y = spmm_mesh_onehot(mg, xs, mesh, interp)
         float(jnp.sum(y))
         t0 = time.perf_counter()
         for _ in range(reps):
-            y = spmm_mesh_onehot(mg, xs, mesh, False)
+            y = spmm_mesh_onehot(mg, xs, mesh, interp)
             float(jnp.sum(y))
         dt = (time.perf_counter() - t0) / reps
         x.delete()
