@@ -220,6 +220,45 @@ def test_sharded_gat_matches_single_device():
     assert ts["model_param"] == td["model_param"]
 
 
+def test_sharded_sage_matches_single_device():
+    """GraphSAGE on the mesh: the neighbor leg is the same sharded SpMM as
+    GCN, the self leg is local — epoch parity with the single-device SAGE
+    through the halo ring."""
+    import dataclasses
+
+    g, x, target, tr, te, C = _data(seed=9)
+    cfg = dataclasses.replace(CFG, model="sage", max_epoch=6)
+    single = Trainer(g, x, target, tr, te, C, config=cfg)
+    single.fit(verbose=False)
+    sharded = ShardedTrainer(
+        g, x, target, tr, te, C, config=cfg, n_shards=8, partition="halo",
+    )
+    sharded.fit(verbose=False)
+    assert len(single.history) == len(sharded.history)
+    for hs, hd in zip(single.history, sharded.history):
+        assert abs(hs["train_loss"] - hd["train_loss"]) < 1e-3, (hs, hd)
+        assert abs(hs["acc"] - hd["acc"]) < 1e-6, (hs, hd)
+    assert single.test()["model_param"] == sharded.test()["model_param"]
+
+
+def test_sharded_sage_identity_features_onehot_kernel():
+    """SAGE with identity features on the Pallas one-hot mesh kernels:
+    BOTH layer-1 tables (w_self, w_neigh) are row-sharded; training runs
+    and the loss decreases."""
+    g, _, target, tr, te, C = _data(seed=10)
+    import dataclasses
+
+    t = ShardedTrainer(
+        g, None, target, tr, te, C,
+        config=dataclasses.replace(CFG, model="sage", max_epoch=6,
+                                   epoch_block=3),
+        n_shards=4, partition="allgather", kernel="onehot",
+    )
+    t.fit(verbose=False)
+    assert t.history[-1]["train_loss"] < t.history[0]["train_loss"]
+    assert np.isfinite(t.test()["test_loss"])
+
+
 def test_sharded_gat_requires_allgather():
     g, x, target, tr, te, C = _data(seed=4)
     import dataclasses

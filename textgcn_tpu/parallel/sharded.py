@@ -76,6 +76,73 @@ def spmm_sharded(pg: PartitionedGraph, x: jnp.ndarray, mesh: Mesh) -> jnp.ndarra
     )(pg.row, pg.col, pg.val, x)
 
 
+def _make_agg(pg, mesh: Mesh):
+    """Shard-local aggregation closure, dispatching on the partitioned
+    graph's type: Pallas mesh kernels (one-hot / hybrid — interpret-mode
+    pure-XLA lowering off-TPU, mirrors ops/spmm.spmm), ppermute halo ring,
+    or the XLA all-gather + segment-sum path."""
+    from textgcn_tpu.parallel.halo import HaloPartitionedGraph, spmm_halo
+    from textgcn_tpu.parallel.mesh_kernels import (
+        MeshHybridAllGather,
+        MeshOneHotAllGather,
+        MeshOneHotHalo,
+        spmm_mesh_onehot,
+    )
+
+    if isinstance(
+        pg, (MeshOneHotAllGather, MeshOneHotHalo, MeshHybridAllGather)
+    ):
+        interpret = jax.default_backend() != "tpu"
+        return lambda s: spmm_mesh_onehot(pg, s, mesh, interpret)
+    if isinstance(pg, HaloPartitionedGraph):
+        return lambda s: spmm_halo(pg, s, mesh)
+    return lambda s: spmm_sharded(pg, s, mesh)
+
+
+def sharded_sage_forward(
+    params,
+    pg,
+    x: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    dropout: float = 0.0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Row-sharded GraphSAGE logits [n_pad, C] (mesh analogue of
+    :func:`textgcn_tpu.models.sage.sage_forward`).
+
+    Works over EVERY aggregation layout — halo ring, all-gather, and the
+    Pallas mesh kernels — because the neighbor leg is the same single
+    sharded SpMM as GCN; the self leg is a purely local matmul. With
+    identity features both of layer 1's weights are row-sharded
+    [n_pad, H] node tables.
+    """
+    agg = _make_agg(pg, mesh)
+
+    def layer(p, h_in):
+        if h_in is None:
+            self_part = p["w_self"]
+            neigh = agg(p["w_neigh"])
+        else:
+            self_part = jnp.dot(
+                h_in, p["w_self"], preferred_element_type=jnp.float32
+            )
+            neigh = agg(
+                jnp.dot(
+                    h_in, p["w_neigh"], preferred_element_type=jnp.float32
+                )
+            )
+        return self_part + neigh + p["b"]
+
+    h = jax.nn.relu(layer(params["sage1"], x))
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+    return layer(params["sage2"], h)
+
+
 def sharded_gcn_forward(
     params,
     pg,
@@ -101,25 +168,7 @@ def sharded_gcn_forward(
     mesh, with tensor-parallel-style sharded parameter gradients falling
     out of shard_map AD for free.
     """
-    from textgcn_tpu.parallel.halo import HaloPartitionedGraph, spmm_halo
-    from textgcn_tpu.parallel.mesh_kernels import (
-        MeshHybridAllGather,
-        MeshOneHotAllGather,
-        MeshOneHotHalo,
-        spmm_mesh_onehot,
-    )
-
-    if isinstance(
-        pg, (MeshOneHotAllGather, MeshOneHotHalo, MeshHybridAllGather)
-    ):
-        # Pallas one-hot MXU kernels on the mesh (interpret-mode pure-XLA
-        # lowering off-TPU, same numerics — mirrors ops/spmm.spmm)
-        interpret = jax.default_backend() != "tpu"
-        agg = lambda s: spmm_mesh_onehot(pg, s, mesh, interpret)  # noqa: E731
-    elif isinstance(pg, HaloPartitionedGraph):
-        agg = lambda s: spmm_halo(pg, s, mesh)  # noqa: E731
-    else:
-        agg = lambda s: spmm_sharded(pg, s, mesh)  # noqa: E731
+    agg = _make_agg(pg, mesh)
     if x is None:
         support = params["gc1"]["w"]
     else:

@@ -33,6 +33,7 @@ import optax
 from textgcn_tpu.graph.structs import SparseGraph
 from textgcn_tpu.models.gat import gat_init
 from textgcn_tpu.models.gcn import gcn_init
+from textgcn_tpu.models.sage import sage_init
 from textgcn_tpu.parallel.halo import partition_rows_halo
 from textgcn_tpu.parallel.partition import pad_features, partition_rows
 from textgcn_tpu.parallel.sharded import (
@@ -41,6 +42,7 @@ from textgcn_tpu.parallel.sharded import (
     shard_arrays,
     sharded_gat_forward,
     sharded_gcn_forward,
+    sharded_sage_forward,
 )
 from textgcn_tpu.train.trainer import (
     EarlyStopping,
@@ -125,9 +127,10 @@ class ShardedTrainer:
         self.mesh = make_mesh(n_shards)
         self.n_shards = self.mesh.devices.size
         self.model = getattr(config, "model", "gcn")
-        if self.model not in ("gcn", "gat"):
+        if self.model not in ("gcn", "gat", "sage"):
             raise ValueError(
-                f"sharded training supports models gcn|gat, got {self.model!r}"
+                "sharded training supports models gcn|gat|sage, got "
+                f"{self.model!r}"
             )
         if self.model == "gat" and (partition != "allgather" or
                                     kernel != "segment"):
@@ -233,12 +236,12 @@ class ShardedTrainer:
 
     def _forward(self):
         pg, mesh, cfg = self.pg, self.mesh, self.cfg
-        if self.model == "gat":
-            return lambda params, x, train, rng: sharded_gat_forward(
-                params, pg, x, mesh,
-                dropout=cfg.dropout, train=train, rng=rng,
-            )
-        return lambda params, x, train, rng: sharded_gcn_forward(
+        fwd = {
+            "gcn": sharded_gcn_forward,
+            "gat": sharded_gat_forward,
+            "sage": sharded_sage_forward,
+        }[self.model]
+        return lambda params, x, train, rng: fwd(
             params, pg, x, mesh, dropout=cfg.dropout, train=train, rng=rng
         )
 
@@ -307,18 +310,27 @@ class ShardedTrainer:
 
         key = jax.random.PRNGKey(cfg.seed)
         key, init_key = jax.random.split(key)
-        init_fn = gat_init if self.model == "gat" else gcn_init
-        layer1 = "gat1" if self.model == "gat" else "gc1"
+        init_fn, layer1 = {
+            "gcn": (gcn_init, "gc1"),
+            "gat": (gat_init, "gat1"),
+            "sage": (sage_init, "sage1"),
+        }[self.model]
+        n_sharded_tables = 0
         if self.x is None:
-            # identity features: layer 1's w is the [n_pad, H]
-            # node-embedding table, row-sharded exactly like feature rows
+            # identity features: layer 1's node-indexed weights become
+            # [n_pad, H] tables, row-sharded exactly like feature rows
             # (padding rows receive no edges, so their grads are zero and
-            # they stay at init — never read by any real node's logits)
+            # they stay at init — never read by any real node's logits).
+            # GCN/GAT have one such table ("w"); SAGE has two
+            # (w_self + w_neigh).
             params = init_fn(
                 init_key, self.n_pad, cfg.n_hidden, self.num_classes
             )
             sx = NamedSharding(self.mesh, P(AXIS, None))
-            params[layer1]["w"] = jax.device_put(params[layer1]["w"], sx)
+            for name, leaf in params[layer1].items():
+                if leaf.ndim == 2 and leaf.shape[0] == self.n_pad:
+                    params[layer1][name] = jax.device_put(leaf, sx)
+                    n_sharded_tables += 1
             n_feat_real = self.n_nodes
         else:
             params = init_fn(
@@ -326,14 +338,10 @@ class ShardedTrainer:
             )
             n_feat_real = self.x.shape[1]
         # report the same param count as the single-device Trainer:
-        # all leaves, minus the padding rows of an identity-feature table
+        # all leaves, minus the padding rows of identity-feature tables
         self.model_param = sum(
             int(p.size) for p in jax.tree_util.tree_leaves(params)
-        ) - (
-            (self.n_pad - n_feat_real) * cfg.n_hidden
-            if self.x is None
-            else 0
-        )
+        ) - (self.n_pad - n_feat_real) * cfg.n_hidden * n_sharded_tables
         opt, train_block, eval_step = self._build_steps()
         self._eval_step = eval_step
         opt_state = opt.init(params)
@@ -435,22 +443,28 @@ class ShardedTrainer:
         from textgcn_tpu.train.checkpoint import restore_checkpoint
 
         params = restore_checkpoint(path)["params"]
-        layer1 = "gat1" if self.model == "gat" else "gc1"
-        w1 = np.asarray(params[layer1]["w"])
+        layer1 = {"gcn": "gc1", "gat": "gat1", "sage": "sage1"}[self.model]
         if self.x is None:
-            # identity-feature table: pad to n_pad and row-shard
-            if w1.shape[0] < self.n_pad:
-                w1 = np.concatenate(
-                    [w1, np.zeros((self.n_pad - w1.shape[0], w1.shape[1]),
-                                  dtype=w1.dtype)]
-                )
-            elif w1.shape[0] > self.n_pad:
-                raise ValueError(
-                    f"checkpoint W1 has {w1.shape[0]} rows > this mesh's "
-                    f"padded node count {self.n_pad}"
-                )
+            # identity-feature node tables: pad to n_pad and row-shard
+            # (GCN/GAT: "w"; SAGE: "w_self" + "w_neigh")
             sx = NamedSharding(self.mesh, P(AXIS, None))
-            params[layer1]["w"] = jax.device_put(w1, sx)
+            for name, leaf in list(params[layer1].items()):
+                w1 = np.asarray(leaf)
+                if w1.ndim != 2 or w1.shape[0] < self.n_nodes:
+                    continue
+                if w1.shape[0] < self.n_pad:
+                    w1 = np.concatenate(
+                        [w1, np.zeros(
+                            (self.n_pad - w1.shape[0], w1.shape[1]),
+                            dtype=w1.dtype,
+                        )]
+                    )
+                elif w1.shape[0] > self.n_pad:
+                    raise ValueError(
+                        f"checkpoint {name} has {w1.shape[0]} rows > this "
+                        f"mesh's padded node count {self.n_pad}"
+                    )
+                params[layer1][name] = jax.device_put(w1, sx)
         self.params = params
         _, _, eval_step = self._build_steps()
         self._eval_step = eval_step

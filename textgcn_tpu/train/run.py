@@ -68,9 +68,10 @@ def run_experiment(
     if n_shards is not None and getattr(config, "model", "gcn") not in (
         "gcn",
         "gat",
+        "sage",
     ):
         raise ValueError(
-            "sharded training supports the gcn and gat families "
+            "sharded training supports the gcn, gat, and sage families "
             "(gat needs --partition allgather)"
         )
     if n_shards is not None and save_state is not None:
