@@ -38,7 +38,7 @@ def ensure_graph(dataset: str = "R8", num_topics: int = 50) -> None:
     b.save()
 
 
-def time_train_epochs(pre, fmt: str, n_epochs: int = 8) -> dict:
+def time_train_epochs(pre, fmt: str, n_epochs: int = 24) -> dict:
     """Measure the compiled per-epoch train time through one SpMM format.
 
     One epoch of the jitted ``_train_block`` = forward (2 SpMM) + backward
@@ -100,40 +100,80 @@ def time_train_epochs(pre, fmt: str, n_epochs: int = 8) -> dict:
     }
 
 
+def measure_rtt(reps: int = 10) -> float:
+    """Tunnel scalar-readback round-trip in seconds (pre-jitted fn; the
+    axon tunnel adds ~35 ms per host<->device readback on this box).
+    Recorded so every perf number's dispatch/readback overhead is
+    auditable rather than silently folded into kernel time."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda v: v + 1.0)
+    z = f(jnp.zeros(()))
+    float(z)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(f(z))
+    return (time.perf_counter() - t0) / reps
+
+
+def time_chained(fn, x0, reps: int):
+    """Time ``reps`` data-dependent applications of ``fn`` inside ONE
+    jitted ``lax.fori_loop`` dispatch with a single scalar readback.
+
+    This is the honest kernel-time definition on a tunneled chip: round 2
+    timed one dispatch + one readback per rep, which buried the hybrid
+    kernel's ~5 ms pass under ~35 ms of tunnel RTT (reported 31 ms/pass;
+    the chained number is 4.7 ms). The chain must be data-dependent so
+    XLA cannot hoist loop-invariant work out of the loop body.
+    Returns (seconds_per_rep, final_value_scalar).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    chained = jax.jit(
+        lambda v: lax.fori_loop(0, reps, lambda i, w: fn(i, w), v)
+    )
+    y = chained(x0)
+    float(jnp.sum(y))  # compile + warmup (forced readback: tunnel)
+    t0 = time.perf_counter()
+    y = chained(x0)
+    s = float(jnp.sum(y))
+    dt = (time.perf_counter() - t0) / reps
+    return dt, s
+
+
 def roofline_probe(n: int = 1 << 28, nt: int = 1_000_000,
                    ng: int = 4_000_000) -> dict:
     """In-session machine bounds (round-2 verdict item #2): measure the
     chip's HBM stream bandwidth and random-row gather rate HERE, in the
     same process and tunnel conditions as the kernel timings, so every
     kernel below can be reported as a fraction of its governing bound
-    rather than argued in markdown.
+    rather than argued in markdown. All probes use the single-dispatch
+    chained timing of :func:`time_chained` — the bounds must not be
+    deflated by tunnel RTT, or fractions-of-bound flatter the kernels.
     """
     import jax
     import jax.numpy as jnp
 
-    res = {}
+    res = {"tunnel_rtt_ms": measure_rtt() * 1e3}
     # HBM stream BW: elementwise y = a*x + b over 1 GiB (reads + writes
-    # 2 GiB per pass). Chained applications, single tiny readback.
+    # 2 GiB per pass), 16 chained passes in one dispatch.
     x = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.float32))(
         jax.random.PRNGKey(0)
     )
-    f = jax.jit(lambda v: v * 1.0000001 + 0.25)
-    y = f(x)
-    float(y[0])  # forced readback (tunnel: block_until_ready lies)
-    reps = 6
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = f(y)
-    float(y[0])
-    dt = (time.perf_counter() - t0) / reps
+    dt, _ = time_chained(lambda i, v: v * 1.0000001 + 0.25, x, 16)
     res["hbm_stream_gbps"] = 2 * 4 * n / dt / 1e9
     x.delete()
-    y.delete()
 
     # random-row gather rate: 4M random rows from a [1M, 128] f32 table —
     # the 512-byte-granule random-read wall that bounds uniform-sparsity
     # SpMM (independent of row width per gather_probe.py: the wall is
-    # granule-count-bound, not byte-bound)
+    # granule-count-bound, not byte-bound). The chain accumulates the full
+    # sum of each gather with an iteration-shifted index vector: the shift
+    # keeps the gather loop-variant (no hoisting) and the full-sum consumer
+    # keeps every gathered row live (no dead-row elimination).
     fd = 128
     tbl = jax.jit(lambda k: jax.random.normal(k, (nt, fd), jnp.float32))(
         jax.random.PRNGKey(1)
@@ -141,22 +181,19 @@ def roofline_probe(n: int = 1 << 28, nt: int = 1_000_000,
     idx = jax.jit(
         lambda k: jax.random.randint(k, (ng,), 0, nt, dtype=jnp.int32)
     )(jax.random.PRNGKey(2))
-    g = jax.jit(lambda t, i: t[i])
-    out = g(tbl, idx)
-    float(out[0, 0])
-    reps = 4
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = g(tbl, idx)
-        float(out[0, 0])
-    dt = (time.perf_counter() - t0) / reps
+
+    def gather_step(i, acc):
+        shifted = jax.lax.rem(idx + i, nt)
+        return acc + jnp.sum(tbl[shifted])
+
+    dt, _ = time_chained(gather_step, jnp.zeros(()), 8)
     res["gather_rows_per_s"] = ng / dt
     res["gather_gbps"] = ng * fd * 4 / dt / 1e9
     tbl.delete()
     idx.delete()
-    out.delete()
     log(
-        f"[bench] roofline probe: HBM stream {res['hbm_stream_gbps']:.0f} "
+        f"[bench] roofline probe: tunnel RTT {res['tunnel_rtt_ms']:.0f} ms | "
+        f"HBM stream {res['hbm_stream_gbps']:.0f} "
         f"GB/s | random gather {res['gather_rows_per_s'] / 1e6:.0f}M rows/s "
         f"({res['gather_gbps']:.0f} GB/s effective)"
     )
@@ -193,15 +230,19 @@ def np_size(a) -> int:
     return int(np.prod(a.shape))
 
 
-def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 5) -> dict:
-    """Single Â@X pass per kernel at the training hidden width (F=200),
+def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 16) -> dict:
+    """Per-kernel Â@X pass time at the training hidden width (F=200),
     each with a bound model + measured fraction_of_bound.
 
-    Measurement definition: ONE aggregation pass, jitted, forced scalar
-    readback per rep — this is the *kernel* number. The per-epoch numbers
-    elsewhere in perf_bench.json are a different definition (6 passes +
-    Adam + metrics per epoch, amortized dispatch); both are recorded so
-    the 59.9 ms vs 331 ms style ambiguity of round 2 cannot recur.
+    Measurement definition: ``reps`` chained aggregation passes (the
+    output of one is the input of the next — Â is square) inside ONE
+    jitted fori_loop dispatch with a single scalar readback
+    (:func:`time_chained`) — this is the *kernel* number, free of the
+    ~35 ms/readback tunnel RTT that round 2's per-rep-readback timing
+    buried kernels under. The per-epoch numbers elsewhere in
+    perf_bench.json are a different definition (6 passes + Adam +
+    metrics per epoch, amortized dispatch); both are recorded so the
+    59.9 ms vs 331 ms style ambiguity of round 2 cannot recur.
     """
     import jax
     import jax.numpy as jnp
@@ -220,13 +261,8 @@ def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 5) -> dict:
     out = {}
     for fmt in ("segment", "onehot", "hybrid"):
         p = apply_spmm_format(pre, fmt)
-        y = spmm(p.graph, x)
-        float(jnp.sum(y))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = spmm(p.graph, x)
-            float(jnp.sum(y))
-        dt = (time.perf_counter() - t0) / reps
+        g = p.graph
+        dt, _ = time_chained(lambda i, v: spmm(g, v), x, reps)
         rec = {"pass_ms": dt * 1e3, "edges_per_s": e / dt}
         if fmt in ("segment", "onehot"):
             # every edge is one random-row read; the scatter side is
@@ -254,7 +290,7 @@ def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 5) -> dict:
     return out
 
 
-def mesh_kernel_perf(pre, f: int = 200, reps: int = 5) -> dict:
+def mesh_kernel_perf(pre, f: int = 200, reps: int = 16) -> dict:
     """Per-shard throughput of the MESH aggregation path on real hardware:
     a 1-device mesh on this chip running the halo-ring bucket layout
     through the Pallas one-hot kernel (parallel/mesh_kernels.py) — the
@@ -287,13 +323,11 @@ def mesh_kernel_perf(pre, f: int = 200, reps: int = 5) -> dict:
             lambda k: jax.random.normal(k, (mg.n_pad, f), jnp.float32)
         )(jax.random.PRNGKey(4))
         xs = jax.device_put(x, NamedSharding(mesh, P("nodes", None)))
-        y = spmm_mesh_onehot(mg, xs, mesh, interp)
-        float(jnp.sum(y))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = spmm_mesh_onehot(mg, xs, mesh, interp)
-            float(jnp.sum(y))
-        dt = (time.perf_counter() - t0) / reps
+        # chained passes in one dispatch (Â@ maps [n_pad,F]→[n_pad,F] with
+        # the same row sharding, so the output feeds straight back)
+        dt, _ = time_chained(
+            lambda i, v: spmm_mesh_onehot(mg, v, mesh, interp), xs, reps
+        )
         x.delete()
         log(
             f"[bench] mesh kernel (P=1 {label}): {dt * 1e3:.1f} ms/pass "
@@ -349,18 +383,21 @@ def docword_perf(dataset: str = "R8") -> dict:
         "n_nodes": pre.n_nodes,
         "n_edges": pre.graph.n_edges,
         "measurement_definitions": {
-            "kernel_pass": "ONE jitted A@X aggregation pass at F=200, "
-            "scalar readback per rep — the kernel number; "
-            "fraction_of_bound is measured against the in-session "
-            "roofline probe",
+            "kernel_pass": "16 chained A@X aggregation passes at F=200 in "
+            "ONE jitted fori_loop dispatch, single scalar readback — the "
+            "kernel number, free of tunnel RTT (measured ~35 ms/readback, "
+            "recorded in roofline.tunnel_rtt_ms; round 2's "
+            "per-rep-readback timing buried the hybrid kernel's ~5 ms "
+            "under it). fraction_of_bound is measured against the "
+            "in-session roofline probe, itself chained the same way",
             "epoch": "one epoch of the jitted _train_block (fwd 2 + bwd 2 "
-            "+ val 2 SpMM + Adam + metrics), 8 epochs per dispatch; "
-            "includes tunnel readback amortized /8 — tunnel-day variance "
-            "explains round-2's 59.9 vs 331 ms hybrid discrepancy (same "
-            "code, different day/definition; both recorded here)",
-            "mesh_kernel": "one pass of the sharded halo-ring bucket "
-            "layout through the Pallas one-hot kernel on a 1-device mesh "
-            "(per-shard rate on real hardware)",
+            "+ val 2 SpMM + Adam + metrics), 24 epochs per dispatch; "
+            "includes tunnel readback amortized /24 — tunnel-day variance "
+            "plus per-rep readback explains round-2's 59.9 vs 331 ms "
+            "hybrid discrepancy (same code, different day/definition)",
+            "mesh_kernel": "16 chained passes of the sharded bucket "
+            "layouts through the Pallas kernels on a 1-device mesh, one "
+            "dispatch (per-shard rate on real hardware)",
         },
         "roofline": probe,
         "kernel_pass": kernel_pass,

@@ -263,14 +263,15 @@ def main(argv=None) -> int:
     p.add_argument(
         "--model",
         default="gcn",
-        choices=["gcn", "gat", "sgc", "sgc_pre", "appnp", "sage"],
+        choices=["gcn", "gat", "sgc", "sgc_pre", "appnp", "sage", "gin"],
         help="model family: gcn (fixed normalized adjacency), gat "
         "(per-edge attention via weighted segment softmax; requires "
         "--spmm segment), sgc (linear A^2XW classifier), sgc_pre "
         "(SGC with A^2X hoisted out of training — the compiled step is "
         "gather-free; topic graphs only), appnp "
         "(MLP + 10-step personalized-PageRank propagation), sage "
-        "(GraphSAGE mean aggregator: separate self/neighbor transforms)",
+        "(GraphSAGE mean aggregator: separate self/neighbor transforms), "
+        "gin ((1+eps)·h + Âh through a 2-layer MLP, learnable eps)",
     )
     p.add_argument(
         "--shards",

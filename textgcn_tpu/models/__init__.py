@@ -8,6 +8,7 @@ from textgcn_tpu.models.sgc import (  # noqa: F401
 )
 from textgcn_tpu.models.appnp import appnp_init, appnp_forward  # noqa: F401
 from textgcn_tpu.models.sage import sage_init, sage_forward  # noqa: F401
+from textgcn_tpu.models.gin import gin_init, gin_forward  # noqa: F401
 
 # Model-family registry: name -> (init, forward) with the uniform
 # signatures init(key, n_feat, n_hidden, n_class) and
@@ -25,4 +26,6 @@ MODELS = {
     # GraphSAGE mean aggregator: separate self/neighbor transforms per
     # layer — the node's own features are not degree-diluted
     "sage": (sage_init, sage_forward),
+    # GIN: (1+eps)·h + Âh through a 2-layer MLP, learnable eps per layer
+    "gin": (gin_init, gin_forward),
 }
