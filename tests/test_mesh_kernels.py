@@ -298,3 +298,55 @@ def test_run_experiment_sharded_onehot(tmp_path, monkeypatch):
     )
     assert summary["sharding"]["kernel"] == "onehot"
     assert 0.0 <= summary["test_accuracy"]["mean"] <= 1.0
+
+
+@pytest.mark.parametrize("model", ["sgc", "appnp", "gin"])
+@pytest.mark.parametrize("partition", ["halo", "allgather"])
+def test_sharded_propagation_families_match_single_device(model, partition):
+    """SGC / APPNP / GIN on the mesh: every family whose only collective
+    op is the shared sharded SpMM must reproduce the single-device
+    trainer epoch-by-epoch over both layouts (parallel/sharded.py
+    sharded_{sgc,appnp,gin}_forward vs models/{sgc,appnp,gin}.py)."""
+    import dataclasses
+
+    g, x, target, tr, te, C = _data(seed=21)
+    cfg = dataclasses.replace(CFG, model=model, max_epoch=5)
+    single = Trainer(g, x, target, tr, te, C, config=cfg)
+    single.fit(verbose=False)
+    sharded = ShardedTrainer(
+        g, x, target, tr, te, C, config=cfg, n_shards=8, partition=partition,
+    )
+    sharded.fit(verbose=False)
+    assert len(single.history) == len(sharded.history)
+    for hs, hd in zip(single.history, sharded.history):
+        assert abs(hs["train_loss"] - hd["train_loss"]) < 1e-3, (hs, hd)
+        assert abs(hs["val_loss"] - hd["val_loss"]) < 1e-3, (hs, hd)
+        assert abs(hs["acc"] - hd["acc"]) < 1e-6, (hs, hd)
+    ts, td = single.test(), sharded.test()
+    assert abs(ts["acc"] - td["acc"]) < 1e-6, (ts, td)
+    assert ts["model_param"] == td["model_param"]
+
+
+def test_sharded_sgc_identity_features_onehot_kernel():
+    """SGC with identity features on the Pallas one-hot mesh kernels: the
+    node table is [n_pad, C] (no hidden layer — the width that exercises
+    the per-table padded-param accounting), row-sharded over the mesh;
+    training runs and the loss decreases."""
+    import dataclasses
+
+    g, _, target, tr, te, C = _data(seed=22)
+    t = ShardedTrainer(
+        g, None, target, tr, te, C,
+        config=dataclasses.replace(CFG, model="sgc", max_epoch=6,
+                                   epoch_block=3),
+        n_shards=4, partition="allgather", kernel="onehot",
+    )
+    t.fit(verbose=False)
+    assert t.history[-1]["train_loss"] < t.history[0]["train_loss"]
+    res = t.test()
+    assert np.isfinite(res["test_loss"])
+    w = t.params["lin"]["w"]
+    assert w.shape == (t.n_pad, C)
+    assert len(w.sharding.device_set) == 4, w.sharding
+    # param count excludes padding rows of the sharded [n_pad, C] table
+    assert res["model_param"] == g.n_nodes * C + C

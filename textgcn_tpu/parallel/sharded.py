@@ -143,6 +143,136 @@ def sharded_sage_forward(
     return layer(params["sage2"], h)
 
 
+def sharded_sgc_forward(
+    params,
+    pg,
+    x: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    dropout: float = 0.0,  # unused: SGC has no dropout (registry signature)
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    k: int = None,
+) -> jnp.ndarray:
+    """Row-sharded SGC logits [n_pad, C] (mesh analogue of
+    :func:`textgcn_tpu.models.sgc.sgc_forward`): Â^k (X W) + b.
+
+    SGC is the cheapest family to shard: project locally to [n_pad, C]
+    (one lane tile), then k sharded aggregation passes — any layout
+    (halo ring, all-gather, Pallas mesh kernels) works because the only
+    collective op is the same single SpMM as GCN. With identity features
+    W itself is the row-sharded [n_pad, C] node table.
+    """
+    from textgcn_tpu.models.sgc import DEFAULT_K
+
+    del dropout, train, rng
+    if k is None:
+        k = DEFAULT_K
+    agg = _make_agg(pg, mesh)
+    h = (
+        params["lin"]["w"]
+        if x is None
+        else jnp.dot(
+            x, params["lin"]["w"], preferred_element_type=jnp.float32
+        )
+    )
+    for _ in range(k):
+        h = agg(h)
+    return h + params["lin"]["b"]
+
+
+def sharded_appnp_forward(
+    params,
+    pg,
+    x: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    dropout: float = 0.5,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    alpha: float = None,
+    k: int = None,
+) -> jnp.ndarray:
+    """Row-sharded APPNP logits [n_pad, C] (mesh analogue of
+    :func:`textgcn_tpu.models.appnp.appnp_forward`).
+
+    The MLP is purely local (weights replicated, rows sharded); the PPR
+    power iteration is k sharded SpMMs over the projected [n_pad, C]
+    logits inside one ``lax.scan`` — on a real pod each step is one ring
+    rotation (halo) or gather (allgather) over ICI, and XLA pipelines the
+    k steps into a single fused loop. With identity features fc1's weight
+    is the row-sharded [n_pad, H] node table.
+    """
+    from textgcn_tpu.models.appnp import DEFAULT_ALPHA, DEFAULT_K
+
+    if alpha is None:
+        alpha = DEFAULT_ALPHA
+    if k is None:
+        k = DEFAULT_K
+    agg = _make_agg(pg, mesh)
+    h = (
+        params["fc1"]["w"]
+        if x is None
+        else jnp.dot(
+            x, params["fc1"]["w"], preferred_element_type=jnp.float32
+        )
+    )
+    h = jax.nn.relu(h + params["fc1"]["b"])
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+    h = (
+        jnp.dot(h, params["fc2"]["w"], preferred_element_type=jnp.float32)
+        + params["fc2"]["b"]
+    )
+
+    def step(z, _):
+        return (1.0 - alpha) * agg(z) + alpha * h, None
+
+    z, _ = jax.lax.scan(step, h, None, length=k)
+    return z
+
+
+def sharded_gin_forward(
+    params,
+    pg,
+    x: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    dropout: float = 0.5,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Row-sharded GIN logits [n_pad, C] (mesh analogue of
+    :func:`textgcn_tpu.models.gin.gin_forward`).
+
+    The (1+eps)·h self term is elementwise-local; the neighbor term is
+    the same single sharded SpMM as GCN, so every aggregation layout
+    works. With identity features gin1's first MLP weight is the
+    row-sharded [n_pad, H] node table: ((1+eps) I + Â) W aggregates the
+    table directly (I_N never materialized).
+    """
+    agg = _make_agg(pg, mesh)
+
+    def aggregate(p, h_in, w):
+        if h_in is None:
+            return (1.0 + p["eps"]) * w + agg(w)
+        a = (1.0 + p["eps"]) * h_in + agg(h_in)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    p1 = params["gin1"]
+    h = jax.nn.relu(aggregate(p1, x, p1["w1"]) + p1["b1"])
+    h = jnp.dot(h, p1["w2"], preferred_element_type=jnp.float32) + p1["b2"]
+    h = jax.nn.relu(h)
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+    p2 = params["gin2"]
+    return aggregate(p2, h, p2["w"]) + p2["b"]
+
+
 def sharded_gcn_forward(
     params,
     pg,

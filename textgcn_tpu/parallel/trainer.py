@@ -31,24 +31,46 @@ import numpy as np
 import optax
 
 from textgcn_tpu.graph.structs import SparseGraph
+from textgcn_tpu.models.appnp import appnp_init
 from textgcn_tpu.models.gat import gat_init
 from textgcn_tpu.models.gcn import gcn_init
+from textgcn_tpu.models.gin import gin_init
 from textgcn_tpu.models.sage import sage_init
+from textgcn_tpu.models.sgc import sgc_init
 from textgcn_tpu.parallel.halo import partition_rows_halo
 from textgcn_tpu.parallel.partition import pad_features, partition_rows
 from textgcn_tpu.parallel.sharded import (
     AXIS,
     make_mesh,
     shard_arrays,
+    sharded_appnp_forward,
     sharded_gat_forward,
     sharded_gcn_forward,
+    sharded_gin_forward,
     sharded_sage_forward,
+    sharded_sgc_forward,
 )
 from textgcn_tpu.train.trainer import (
     EarlyStopping,
     TrainConfig,
     train_val_split,
 )
+
+
+# sharded model registry: name -> (init, sharded forward, layer-1 key).
+# The layer-1 key names the param group whose node-indexed [n_pad, ·]
+# tables become row-sharded under identity features (mesh analogue of the
+# single-device registry textgcn_tpu.models.MODELS; sgc_pre is excluded —
+# its precompute hoists the graph out of training, so there is nothing to
+# shard but a dense logistic regression).
+SHARDED_MODELS = {
+    "gcn": (gcn_init, sharded_gcn_forward, "gc1"),
+    "gat": (gat_init, sharded_gat_forward, "gat1"),
+    "sage": (sage_init, sharded_sage_forward, "sage1"),
+    "sgc": (sgc_init, sharded_sgc_forward, "lin"),
+    "appnp": (appnp_init, sharded_appnp_forward, "fc1"),
+    "gin": (gin_init, sharded_gin_forward, "gin1"),
+}
 
 
 def masks_for_split(
@@ -106,9 +128,11 @@ class ShardedTrainer:
     partition only; the trainer applies the degree-sort permutation to
     features/labels/splits itself — the single-chip fast path carried
     onto the mesh).
-    ``config.model``: "gcn" or "gat" (GAT needs partition="allgather" +
-    kernel="segment": its attention softmax runs over the shard-local COO
-    edge stream).
+    ``config.model``: any :data:`SHARDED_MODELS` family — gcn, sage, sgc,
+    appnp, gin run over every partition/kernel combination (their only
+    collective op is the shared sharded SpMM); gat needs
+    partition="allgather" + kernel="segment" (its attention softmax runs
+    over the shard-local COO edge stream).
     """
 
     def __init__(
@@ -127,10 +151,10 @@ class ShardedTrainer:
         self.mesh = make_mesh(n_shards)
         self.n_shards = self.mesh.devices.size
         self.model = getattr(config, "model", "gcn")
-        if self.model not in ("gcn", "gat", "sage"):
+        if self.model not in SHARDED_MODELS:
             raise ValueError(
-                "sharded training supports models gcn|gat|sage, got "
-                f"{self.model!r}"
+                "sharded training supports models "
+                f"{'|'.join(sorted(SHARDED_MODELS))}, got {self.model!r}"
             )
         if self.model == "gat" and (partition != "allgather" or
                                     kernel != "segment"):
@@ -236,11 +260,7 @@ class ShardedTrainer:
 
     def _forward(self):
         pg, mesh, cfg = self.pg, self.mesh, self.cfg
-        fwd = {
-            "gcn": sharded_gcn_forward,
-            "gat": sharded_gat_forward,
-            "sage": sharded_sage_forward,
-        }[self.model]
+        fwd = SHARDED_MODELS[self.model][1]
         return lambda params, x, train, rng: fwd(
             params, pg, x, mesh, dropout=cfg.dropout, train=train, rng=rng
         )
@@ -310,19 +330,15 @@ class ShardedTrainer:
 
         key = jax.random.PRNGKey(cfg.seed)
         key, init_key = jax.random.split(key)
-        init_fn, layer1 = {
-            "gcn": (gcn_init, "gc1"),
-            "gat": (gat_init, "gat1"),
-            "sage": (sage_init, "sage1"),
-        }[self.model]
-        n_sharded_tables = 0
+        init_fn, _, layer1 = SHARDED_MODELS[self.model]
+        n_pad_params = 0
         if self.x is None:
             # identity features: layer 1's node-indexed weights become
-            # [n_pad, H] tables, row-sharded exactly like feature rows
+            # [n_pad, ·] tables, row-sharded exactly like feature rows
             # (padding rows receive no edges, so their grads are zero and
             # they stay at init — never read by any real node's logits).
-            # GCN/GAT have one such table ("w"); SAGE has two
-            # (w_self + w_neigh).
+            # GCN/GAT/APPNP/GIN have one such table; SAGE has two
+            # (w_self + w_neigh); SGC's is [n_pad, C] (no hidden layer).
             params = init_fn(
                 init_key, self.n_pad, cfg.n_hidden, self.num_classes
             )
@@ -330,18 +346,18 @@ class ShardedTrainer:
             for name, leaf in params[layer1].items():
                 if leaf.ndim == 2 and leaf.shape[0] == self.n_pad:
                     params[layer1][name] = jax.device_put(leaf, sx)
-                    n_sharded_tables += 1
-            n_feat_real = self.n_nodes
+                    n_pad_params += (self.n_pad - self.n_nodes) * int(
+                        leaf.shape[1]
+                    )
         else:
             params = init_fn(
                 init_key, self.x.shape[1], cfg.n_hidden, self.num_classes
             )
-            n_feat_real = self.x.shape[1]
         # report the same param count as the single-device Trainer:
         # all leaves, minus the padding rows of identity-feature tables
         self.model_param = sum(
             int(p.size) for p in jax.tree_util.tree_leaves(params)
-        ) - (self.n_pad - n_feat_real) * cfg.n_hidden * n_sharded_tables
+        ) - n_pad_params
         opt, train_block, eval_step = self._build_steps()
         self._eval_step = eval_step
         opt_state = opt.init(params)
@@ -443,7 +459,7 @@ class ShardedTrainer:
         from textgcn_tpu.train.checkpoint import restore_checkpoint
 
         params = restore_checkpoint(path)["params"]
-        layer1 = {"gcn": "gc1", "gat": "gat1", "sage": "sage1"}[self.model]
+        layer1 = SHARDED_MODELS[self.model][2]
         if self.x is None:
             # identity-feature node tables: pad to n_pad and row-shard
             # (GCN/GAT: "w"; SAGE: "w_self" + "w_neigh")

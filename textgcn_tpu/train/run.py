@@ -65,15 +65,16 @@ def run_experiment(
     partitioned Â and features, ``partition`` = "halo" ppermute ring or
     "allgather"), with identical train/val/early-stop/test semantics.
     """
-    if n_shards is not None and getattr(config, "model", "gcn") not in (
-        "gcn",
-        "gat",
-        "sage",
-    ):
-        raise ValueError(
-            "sharded training supports the gcn, gat, and sage families "
-            "(gat needs --partition allgather)"
-        )
+    if n_shards is not None:
+        from textgcn_tpu.parallel.trainer import SHARDED_MODELS
+
+        if getattr(config, "model", "gcn") not in SHARDED_MODELS:
+            raise ValueError(
+                "sharded training supports the "
+                f"{', '.join(sorted(SHARDED_MODELS))} families (gat needs "
+                "--partition allgather; sgc_pre's precompute removes the "
+                "graph from training — use --model sgc with --shards)"
+            )
     if n_shards is not None and save_state is not None:
         raise ValueError(
             "resumable training state is a single-device feature for now; "
