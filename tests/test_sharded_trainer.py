@@ -206,3 +206,127 @@ def test_sharded_identity_checkpoint_roundtrip(tmp_path):
     got = t8.evaluate(t8.test_mask)
     assert abs(got["acc"] - want["acc"]) < 1e-6, (got, want)
     assert abs(got["macro_f1"] - want["macro_f1"]) < 1e-5
+
+
+def _fit_sharded(g, x, y, tr, te, C, max_epoch, n_shards=4,
+                 resume_from=None, model="gcn"):
+    t = ShardedTrainer(
+        g, x, y, tr, te, C,
+        config=TrainConfig(
+            n_hidden=8, max_epoch=max_epoch, epoch_block=3,
+            early_stopping=1000, dropout=0.5, seed=7, model=model,
+        ),
+        n_shards=n_shards,
+    )
+    t.fit(verbose=False, resume_from=resume_from)
+    return t
+
+
+def test_sharded_resume_matches_uninterrupted(tmp_path):
+    """6 epochs + save_training_state + resume to 12 == straight 12 epochs
+    on the mesh, bit-identically (same dropout-key stream — the
+    jax.random.split prefix property makes the first 6 keys of a
+    12-epoch stream equal the 6-epoch stream — same Adam moments,
+    host-gathered then re-sharded through the Orbax template)."""
+    g, x, target, tr, te, C = _data(seed=23)
+
+    full = _fit_sharded(g, x, target, tr, te, C, max_epoch=12)
+
+    part = _fit_sharded(g, x, target, tr, te, C, max_epoch=6)
+    ckpt = part.save_training_state(str(tmp_path / "state"))
+    resumed = _fit_sharded(
+        g, x, target, tr, te, C, max_epoch=12, resume_from=ckpt
+    )
+
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(full.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    assert [h["epoch"] for h in resumed.history] == list(range(6, 12))
+    full_losses = [h["train_loss"] for h in full.history[6:]]
+    res_losses = [h["train_loss"] for h in resumed.history]
+    np.testing.assert_allclose(full_losses, res_losses, rtol=0, atol=0)
+
+
+def test_sharded_resume_across_mesh_sizes_and_trainers(tmp_path):
+    """The resumable checkpoint is mesh-independent: a 4-shard run resumes
+    on 2 shards, and a SINGLE-DEVICE run's state resumes on the mesh
+    (losses match to f32 reduction-order tolerance)."""
+    from textgcn_tpu.train.trainer import Trainer as SingleTrainer
+
+    g, x, target, tr, te, C = _data(seed=29)
+
+    # (a) 4-shard save → 2-shard resume
+    part = _fit_sharded(g, x, target, tr, te, C, max_epoch=6, n_shards=4)
+    ckpt = part.save_training_state(str(tmp_path / "s4"))
+    resumed = _fit_sharded(
+        g, x, target, tr, te, C, max_epoch=12, n_shards=2, resume_from=ckpt
+    )
+    assert [h["epoch"] for h in resumed.history] == list(range(6, 12))
+
+    # (b) single-device save → sharded resume, vs single-device straight-12
+    cfg = TrainConfig(
+        n_hidden=8, max_epoch=6, epoch_block=3, early_stopping=1000,
+        dropout=0.0, seed=7,
+    )
+    import dataclasses
+
+    s6 = SingleTrainer(g, x, target, tr, te, C, config=cfg)
+    s6.fit(verbose=False)
+    ck1 = s6.save_training_state(str(tmp_path / "s1"))
+    s12 = SingleTrainer(
+        g, x, target, tr, te, C,
+        config=dataclasses.replace(cfg, max_epoch=12),
+    )
+    s12.fit(verbose=False)
+    sh = ShardedTrainer(
+        g, x, target, tr, te, C,
+        config=dataclasses.replace(cfg, max_epoch=12),
+        n_shards=4,
+    )
+    sh.fit(verbose=False, resume_from=ck1)
+    want = [h["train_loss"] for h in s12.history[6:]]
+    got = [h["train_loss"] for h in sh.history]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-3)
+
+
+def test_sharded_resume_refuses_stopped_run(tmp_path):
+    g, x, target, tr, te, C = _data(seed=31)
+    t = ShardedTrainer(
+        g, x, target, tr, te, C,
+        config=TrainConfig(n_hidden=8, max_epoch=40, early_stopping=2,
+                           dropout=0.5, seed=1),
+        n_shards=2,
+    )
+    t.fit(verbose=False)
+    assert t._stopped
+    ckpt = t.save_training_state(str(tmp_path / "stopped"))
+    t2 = ShardedTrainer(
+        g, x, target, tr, te, C,
+        config=TrainConfig(n_hidden=8, max_epoch=40, early_stopping=2,
+                           dropout=0.5, seed=1),
+        n_shards=2,
+    )
+    with pytest.raises(ValueError, match="early-stopped"):
+        t2.fit(verbose=False, resume_from=ckpt)
+
+
+def test_sharded_identity_resume(tmp_path):
+    """Resume with the row-sharded identity-feature W1 table: the table and
+    its Adam moments round-trip through the host-gathered checkpoint back
+    onto the mesh bit-identically."""
+    g, _, target, tr, te, C = _data(seed=37)
+
+    full = _fit_sharded(g, None, target, tr, te, C, max_epoch=10)
+    part = _fit_sharded(g, None, target, tr, te, C, max_epoch=5)
+    ckpt = part.save_training_state(str(tmp_path / "id"))
+    resumed = _fit_sharded(
+        g, None, target, tr, te, C, max_epoch=10, resume_from=ckpt
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.params["gc1"]["w"]),
+        np.asarray(resumed.params["gc1"]["w"]),
+    )
+    # the restored table is actually sharded over the mesh
+    assert len(resumed.params["gc1"]["w"].sharding.device_set) == 4

@@ -101,6 +101,8 @@ def cmd_train(args) -> int:
             pre_data=pre_data,
             verbose=not args.quiet,
             save_model=args.save_state,
+            n_shards=args.shards,
+            partition=args.partition,
         )
         acc = summary["test_accuracy"]["mean"]
         print(f"{args.dataset} (resumed): acc={acc:.4f}")

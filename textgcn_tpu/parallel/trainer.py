@@ -267,7 +267,12 @@ class ShardedTrainer:
 
     def _build_steps(self):
         cfg, C = self.cfg, self.num_classes
-        opt = optax.adam(cfg.lr)
+        # the same inject_hyperparams Adam as the single-device trainer
+        # (train/trainer.py _adam) so resumable checkpoints carry an
+        # identical opt_state pytree across the two trainers
+        from textgcn_tpu.train.trainer import _adam
+
+        opt = _adam(cfg.lr)
         fwd = self._forward()
 
         def loss_fn(params, x, y, w, rng):
@@ -317,7 +322,19 @@ class ShardedTrainer:
 
     # -- the training loop --------------------------------------------------
 
-    def fit(self, verbose: bool = True) -> Dict[str, Any]:
+    def fit(
+        self, verbose: bool = True, resume_from: Optional[str] = None
+    ) -> Dict[str, Any]:
+        """Train to ``max_epoch`` or early stop on the mesh.
+
+        ``resume_from``: checkpoint directory written by
+        :meth:`save_training_state` (either trainer's — the state is
+        host-gathered numpy, mesh-independent). Params, Adam moments,
+        epoch counter, and early-stop state are restored and re-sharded
+        onto THIS mesh; the per-epoch dropout-key stream derives from
+        ``cfg.seed`` upfront, so an interrupted-then-resumed sharded run
+        is bit-identical to an uninterrupted one (test-pinned).
+        """
         cfg = self.cfg
         tr, va = train_val_split(self.train_idx_all, cfg.val_ratio, cfg.seed)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -362,13 +379,59 @@ class ShardedTrainer:
         self._eval_step = eval_step
         opt_state = opt.init(params)
         stopper = EarlyStopping(cfg.early_stopping)
+        start_epoch = 0
+        if resume_from is not None:
+            from textgcn_tpu.train.checkpoint import restore_checkpoint
+            from textgcn_tpu.train.trainer import _progress_metadata
+
+            # params/opt_state at init already carry this mesh's shardings
+            # (opt.init's zeros_like preserves them), so they double as the
+            # restore template: Orbax re-shards the host-gathered
+            # checkpoint leaves straight onto the mesh.
+            template = {
+                "params": params,
+                "opt_state": opt_state,
+                "metadata": _progress_metadata(
+                    0, np.inf, np.inf, 0, 0, cfg.seed
+                ),
+            }
+            state = restore_checkpoint(resume_from, template=template)
+            md = state["metadata"]
+            if int(md["stopped"]):
+                raise ValueError(
+                    f"checkpoint {resume_from} is from an early-stopped "
+                    "run; there is nothing to resume"
+                )
+
+            # re-place every restored leaf explicitly: Orbax returns
+            # replicated-template leaves committed to a single device,
+            # which jit rejects next to mesh-sharded arguments — sharded
+            # tables (and their Adam moments) take the template's
+            # NamedSharding, everything else replicates over the mesh
+            rep = NamedSharding(self.mesh, P())
+
+            def _place(t, r):
+                sh = t.sharding if isinstance(t.sharding, NamedSharding) \
+                    else rep
+                return jax.device_put(jnp.asarray(r), sh)
+
+            params = jax.tree_util.tree_map(
+                _place, template["params"], state["params"]
+            )
+            opt_state = jax.tree_util.tree_map(
+                _place, template["opt_state"], state["opt_state"]
+            )
+            start_epoch = int(md["epoch"])
+            sb = float(md["stopper_best"])
+            stopper.best_score = None if np.isinf(sb) else sb
+            stopper.counter = int(md["stopper_counter"])
         # one dropout key per epoch, derived upfront: trajectories are
         # identical for any epoch_block choice (same as train/trainer.py)
         all_rngs = jax.random.split(key, cfg.max_epoch)
         block = max(1, getattr(cfg, "epoch_block", 1))
 
         start = time.time()
-        epoch = 0
+        epoch = start_epoch
         stopped = False
         while epoch < cfg.max_epoch and not stopped:
             n_epochs = min(block, cfg.max_epoch - epoch)
@@ -407,6 +470,11 @@ class ShardedTrainer:
                     break
         self.train_time = time.time() - start
         self.params = params
+        # live training state for save_training_state (mid-training resume)
+        self._opt_state = opt_state
+        self._stopper = stopper
+        self._epochs_done = epoch
+        self._stopped = stopped
         return {"epochs_run": len(self.history), "train_time": self.train_time}
 
     def evaluate(self, mask, prefix: str = "test") -> Dict[str, float]:
@@ -444,6 +512,36 @@ class ShardedTrainer:
                 "n_shards": self.n_shards,
                 "partition": {"halo": 0, "allgather": 1}[self.partition],
             },
+        )
+
+    def save_training_state(self, path: str) -> str:
+        """Resumable checkpoint: params + optimizer state + progress.
+
+        The mesh analogue of ``Trainer.save_training_state``: every leaf
+        (replicated params AND row-sharded identity-feature tables, plus
+        their Adam moments) is host-gathered to numpy first, so the
+        checkpoint is mesh-independent — resumable onto any shard count
+        via ``fit(resume_from=...)``, which re-shards on restore.
+        """
+        from textgcn_tpu.train.checkpoint import save_checkpoint
+        from textgcn_tpu.train.trainer import _progress_metadata
+
+        if self.params is None or not hasattr(self, "_opt_state"):
+            raise ValueError("fit() first")
+        st = self._stopper
+        sb = np.inf if st.best_score is None else st.best_score
+        return save_checkpoint(
+            path,
+            jax.tree_util.tree_map(np.asarray, self.params),
+            opt_state=jax.tree_util.tree_map(np.asarray, self._opt_state),
+            metadata=_progress_metadata(
+                self._epochs_done,
+                sb,
+                sb,
+                st.counter,
+                int(self._stopped),
+                self.cfg.seed,
+            ),
         )
 
     def load(self, path: str) -> None:

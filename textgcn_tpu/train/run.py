@@ -75,11 +75,6 @@ def run_experiment(
                 "--partition allgather; sgc_pre's precompute removes the "
                 "graph from training — use --model sgc with --shards)"
             )
-    if n_shards is not None and save_state is not None:
-        raise ValueError(
-            "resumable training state is a single-device feature for now; "
-            "drop --save_state or --shards"
-        )
     if n_shards is not None and config.spmm not in (
         "auto",
         "segment",
@@ -233,14 +228,19 @@ def resume_training(
     pre_data: Optional[PreparedData] = None,
     verbose: bool = True,
     save_model: Optional[str] = None,
+    n_shards: Optional[int] = None,
+    partition: str = "halo",
 ) -> Dict[str, Any]:
     """Continue an interrupted single-seed run from a resumable checkpoint
-    (written by ``Trainer.save_training_state`` / ``cli train --save_state``).
+    (written by ``save_training_state`` / ``cli train --save_state``).
 
     The seed is read from the checkpoint so the dropout-key stream and
     train/val split continue identically; the resumed trajectory is
     bit-identical to an uninterrupted run (test-pinned in
-    tests/test_checkpoint.py).
+    tests/test_checkpoint.py). With ``n_shards``, training resumes on an
+    ``n_shards``-device mesh — the checkpoint is mesh-independent
+    (host-gathered numpy), so a single-device run can resume sharded and
+    vice versa.
     """
     from textgcn_tpu.train.checkpoint import restore_checkpoint
     from textgcn_tpu.train.prepare import apply_spmm_format
@@ -254,17 +254,32 @@ def resume_training(
             pre_data = prepare_docword_data(dataset, data_root=data_root)
         else:
             pre_data = prepare_topic_data(dataset, data_root=data_root)
-    if getattr(config, "model", "gcn") != "gat":
+    if n_shards is None and getattr(config, "model", "gcn") != "gat":
         pre_data = apply_spmm_format(pre_data, config.spmm)
-    trainer = Trainer(
-        pre_data.graph,
-        pre_data.features,
-        pre_data.labels.target,
-        pre_data.labels.train_idx,
-        pre_data.labels.test_idx,
-        pre_data.labels.n_classes,
-        config=config,
-    )
+    if n_shards is not None:
+        from textgcn_tpu.parallel.trainer import ShardedTrainer
+
+        trainer = ShardedTrainer(
+            pre_data.graph,
+            pre_data.features,
+            pre_data.labels.target,
+            pre_data.labels.train_idx,
+            pre_data.labels.test_idx,
+            pre_data.labels.n_classes,
+            config=config,
+            n_shards=n_shards,
+            partition=partition,
+        )
+    else:
+        trainer = Trainer(
+            pre_data.graph,
+            pre_data.features,
+            pre_data.labels.target,
+            pre_data.labels.train_idx,
+            pre_data.labels.test_idx,
+            pre_data.labels.n_classes,
+            config=config,
+        )
     trainer.fit(verbose=verbose, resume_from=resume_dir)
     test_desc = trainer.test()
     if verbose:
