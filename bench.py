@@ -117,7 +117,7 @@ def measure_rtt(reps: int = 10) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def time_chained(fn, x0, reps: int):
+def time_chained(fn, x0, reps: int, consts=()):
     """Time ``reps`` data-dependent applications of ``fn`` inside ONE
     jitted ``lax.fori_loop`` dispatch with a single scalar readback.
 
@@ -126,6 +126,12 @@ def time_chained(fn, x0, reps: int):
     kernel's ~5 ms pass under ~35 ms of tunnel RTT (reported 31 ms/pass;
     the chained number is 4.7 ms). The chain must be data-dependent so
     XLA cannot hoist loop-invariant work out of the loop body.
+
+    ``consts``: pytrees ``fn`` needs besides the carry (graphs, tables,
+    index vectors), passed as ``fn(i, carry, *consts)``. They MUST come
+    through here rather than being closed over: captured device arrays
+    bake into the HLO as literals, and a multi-MB graph then blows the
+    axon remote-compile request past the tunnel's body limit (HTTP 413).
     Returns (seconds_per_rep, final_value_scalar).
     """
     import jax
@@ -133,12 +139,14 @@ def time_chained(fn, x0, reps: int):
     from jax import lax
 
     chained = jax.jit(
-        lambda v: lax.fori_loop(0, reps, lambda i, w: fn(i, w), v)
+        lambda v, *cs: lax.fori_loop(
+            0, reps, lambda i, w: fn(i, w, *cs), v
+        )
     )
-    y = chained(x0)
+    y = chained(x0, *consts)
     float(jnp.sum(y))  # compile + warmup (forced readback: tunnel)
     t0 = time.perf_counter()
-    y = chained(x0)
+    y = chained(x0, *consts)
     s = float(jnp.sum(y))
     dt = (time.perf_counter() - t0) / reps
     return dt, s
@@ -182,11 +190,11 @@ def roofline_probe(n: int = 1 << 28, nt: int = 1_000_000,
         lambda k: jax.random.randint(k, (ng,), 0, nt, dtype=jnp.int32)
     )(jax.random.PRNGKey(2))
 
-    def gather_step(i, acc):
+    def gather_step(i, acc, tbl, idx):
         shifted = jax.lax.rem(idx + i, nt)
         return acc + jnp.sum(tbl[shifted])
 
-    dt, _ = time_chained(gather_step, jnp.zeros(()), 8)
+    dt, _ = time_chained(gather_step, jnp.zeros(()), 8, consts=(tbl, idx))
     res["gather_rows_per_s"] = ng / dt
     res["gather_gbps"] = ng * fd * 4 / dt / 1e9
     tbl.delete()
@@ -206,14 +214,11 @@ def _hybrid_bound_bytes(h, f_pad: int) -> dict:
     from textgcn_tpu.ops.pallas_spmm import GroupedBSR
 
     bsr = h.bsr
-    if isinstance(bsr, GroupedBSR):
-        tile_loads = bsr.blocks.shape[0] * bsr.group
-        bn = bsr.bn
-        out_rows = bsr.n_block_rows * bsr.bm
-    else:
-        tile_loads = bsr.blocks.shape[0]
-        bn = bsr.bn
-        out_rows = bsr.n_block_rows * bsr.bm
+    tile_loads = bsr.blocks.shape[0] * (
+        bsr.group if isinstance(bsr, GroupedBSR) else 1
+    )
+    bn = bsr.bn
+    out_rows = bsr.n_block_rows * bsr.bm
     blocks_bytes = int(np_size(bsr.blocks)) * 2  # bf16 path
     x_bytes = tile_loads * bn * f_pad * 2
     out_bytes = out_rows * f_pad * 4
@@ -262,7 +267,9 @@ def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 16) -> dict:
     for fmt in ("segment", "onehot", "hybrid"):
         p = apply_spmm_format(pre, fmt)
         g = p.graph
-        dt, _ = time_chained(lambda i, v: spmm(g, v), x, reps)
+        dt, _ = time_chained(
+            lambda i, v, gg: spmm(gg, v), x, reps, consts=(g,)
+        )
         rec = {"pass_ms": dt * 1e3, "edges_per_s": e / dt}
         if fmt in ("segment", "onehot"):
             # every edge is one random-row read; the scatter side is
@@ -326,7 +333,10 @@ def mesh_kernel_perf(pre, f: int = 200, reps: int = 16) -> dict:
         # chained passes in one dispatch (Â@ maps [n_pad,F]→[n_pad,F] with
         # the same row sharding, so the output feeds straight back)
         dt, _ = time_chained(
-            lambda i, v: spmm_mesh_onehot(mg, v, mesh, interp), xs, reps
+            lambda i, v, g: spmm_mesh_onehot(g, v, mesh, interp),
+            xs,
+            reps,
+            consts=(mg,),
         )
         x.delete()
         log(

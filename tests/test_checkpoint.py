@@ -151,3 +151,114 @@ def test_checkpoint_roundtrip(tmp_path):
     flat_a = jax.tree_util.tree_leaves(restored["opt_state"])
     flat_b = jax.tree_util.tree_leaves(opt_state)
     assert len(flat_a) == len(flat_b)
+
+
+def test_save_training_state_under_restore_best(tmp_path):
+    """restore_best=True snapshots best-epoch params into self.params, but
+    the RESUMABLE state must pair the end-of-run params with the
+    end-of-run Adam moments: resuming it (restore_best off) must match an
+    uninterrupted run exactly."""
+    g, x, y, tr, te, c = _toy_problem()
+    cfg = TrainConfig(
+        n_hidden=8, max_epoch=10, epoch_block=4, early_stopping=1000,
+        seed=7, restore_best=True,
+    )
+    a = Trainer(g, x, y, tr, te, c, config=cfg)
+    a.fit(verbose=False)
+    ckpt = a.save_training_state(str(tmp_path / "rb"))
+
+    resumed = _fit(g, x, y, tr, te, c, max_epoch=20, resume_from=ckpt)
+    full = _fit(g, x, y, tr, te, c, max_epoch=20)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(full.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_resume_training_forwards_mesh_kernel(tmp_path, monkeypatch):
+    """resume_training builds its trainer through the same pipeline as
+    run_experiment: a sharded run trained with --spmm onehot must resume
+    on the onehot mesh kernel (bf16 Pallas numerics), continuing the
+    uninterrupted onehot trajectory — not silently fall back to the f32
+    segment kernel."""
+    import os
+
+    from textgcn_tpu.text.datasets import DatasetLabels
+    from textgcn_tpu.train.prepare import PreparedData
+    from textgcn_tpu.train.run import resume_training, run_experiment
+
+    g, x, y, tr, te, c = _toy_problem()
+    labels = DatasetLabels(
+        target=y, label_names=[str(i) for i in range(c)],
+        train_idx=tr, test_idx=te,
+    )
+    pre = PreparedData(
+        graph=g, features=x, labels=labels, n_feat=x.shape[1],
+        num_docs=len(y), num_topics=0,
+    )
+    cfg = TrainConfig(
+        n_hidden=8, max_epoch=6, epoch_block=3, early_stopping=1000,
+        seed=7, spmm="onehot",
+    )
+    monkeypatch.chdir(tmp_path)
+    run_experiment(
+        "toy", times=1, seeds=[7], pre_data=pre, config=cfg,
+        n_shards=2, verbose=False, output_dir=str(tmp_path / "o1"),
+        save_state=str(tmp_path / "st"),
+    )
+    full = run_experiment(
+        "toy", times=1, seeds=[7], pre_data=pre,
+        config=dataclasses.replace(cfg, max_epoch=12),
+        n_shards=2, verbose=False, output_dir=str(tmp_path / "o2"),
+    )
+    resumed = resume_training(
+        "toy", str(tmp_path / "st"), pre_data=pre,
+        config=dataclasses.replace(cfg, max_epoch=12),
+        n_shards=2, verbose=False, output_dir=str(tmp_path / "o3"),
+    )
+    want = [h["train_loss"] for h in full["runs"][0]["history"][6:]]
+    got = [h["train_loss"] for h in resumed["runs"][0]["history"]]
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_resume_training_applies_sgc_precompute(tmp_path, monkeypatch):
+    """A resumed sgc_pre run must train on the SAME precomputed A^2 X
+    features as the original run (resume_training shares run_experiment's
+    prep pipeline), continuing the uninterrupted trajectory."""
+    from textgcn_tpu.text.datasets import DatasetLabels
+    from textgcn_tpu.train.prepare import PreparedData
+    from textgcn_tpu.train.run import resume_training, run_experiment
+
+    g, x, y, tr, te, c = _toy_problem()
+    labels = DatasetLabels(
+        target=y, label_names=[str(i) for i in range(c)],
+        train_idx=tr, test_idx=te,
+    )
+    pre = PreparedData(
+        graph=g, features=x, labels=labels, n_feat=x.shape[1],
+        num_docs=len(y), num_topics=0,
+    )
+    cfg = TrainConfig(
+        n_hidden=8, max_epoch=6, epoch_block=3, early_stopping=1000,
+        seed=7, model="sgc_pre",
+    )
+    monkeypatch.chdir(tmp_path)
+    run_experiment(
+        "toy", times=1, seeds=[7], pre_data=pre, config=cfg,
+        verbose=False, output_dir=str(tmp_path / "o1"),
+        save_state=str(tmp_path / "st"),
+    )
+    full = run_experiment(
+        "toy", times=1, seeds=[7], pre_data=pre,
+        config=dataclasses.replace(cfg, max_epoch=12),
+        verbose=False, output_dir=str(tmp_path / "o2"),
+    )
+    resumed = resume_training(
+        "toy", str(tmp_path / "st"), pre_data=pre,
+        config=dataclasses.replace(cfg, max_epoch=12),
+        verbose=False, output_dir=str(tmp_path / "o3"),
+    )
+    want = [h["train_loss"] for h in full["runs"][0]["history"][6:]]
+    got = [h["train_loss"] for h in resumed["runs"][0]["history"]]
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)

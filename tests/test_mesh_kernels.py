@@ -350,3 +350,107 @@ def test_sharded_sgc_identity_features_onehot_kernel():
     assert len(w.sharding.device_set) == 4, w.sharding
     # param count excludes padding rows of the sharded [n_pad, C] table
     assert res["model_param"] == g.n_nodes * C + C
+
+
+def test_hybrid_identity_checkpoints_are_canonical(tmp_path):
+    """kernel='hybrid' relabels nodes by the degree-sort permutation;
+    checkpoints must store node tables in ORIGINAL order so they restore
+    correctly across kernels: hybrid-save → segment-load and
+    segment-save → hybrid-load must both reproduce the saver's test
+    metrics exactly."""
+    import dataclasses
+
+    g, _, target, tr, te, C = _data(seed=41)
+    cfg = dataclasses.replace(CFG, max_epoch=6, epoch_block=3, dropout=0.0)
+
+    hyb = ShardedTrainer(
+        g, None, target, tr, te, C, config=cfg, n_shards=2,
+        partition="allgather", kernel="hybrid",
+    )
+    hyb.fit(verbose=False)
+    assert hyb.perm is not None
+    want = hyb.test()
+    p_hyb = str(tmp_path / "hyb")
+    hyb.save(p_hyb)
+
+    seg = ShardedTrainer(
+        g, None, target, tr, te, C, config=cfg, n_shards=2,
+        partition="allgather", kernel="segment",
+    )
+    seg.load(p_hyb)
+    got = seg.evaluate(seg.test_mask)
+    assert abs(got["acc"] - want["acc"]) < 1e-6, (got, want)
+    assert abs(got["macro_f1"] - want["macro_f1"]) < 1e-5
+
+    # and the reverse: segment-save → hybrid-load
+    seg2 = ShardedTrainer(
+        g, None, target, tr, te, C, config=cfg, n_shards=2,
+        partition="allgather", kernel="segment",
+    )
+    seg2.fit(verbose=False)
+    want2 = seg2.test()
+    p_seg = str(tmp_path / "seg")
+    seg2.save(p_seg)
+    hyb2 = ShardedTrainer(
+        g, None, target, tr, te, C, config=cfg, n_shards=2,
+        partition="allgather", kernel="hybrid",
+    )
+    hyb2.load(p_seg)
+    got2 = hyb2.evaluate(hyb2.test_mask)
+    # hybrid evaluates through bf16 Pallas tiles (interpret-mode off-TPU):
+    # identical partition/params, kernel-level numerics tolerance
+    assert abs(got2["test_loss"] - want2["test_loss"]) < 5e-2, (got2, want2)
+
+
+def test_hybrid_identity_resume_bit_identical(tmp_path):
+    """Resume through the hybrid kernel: the canonical-order round-trip of
+    the node table AND its Adam moments must continue the uninterrupted
+    hybrid trajectory bit-identically."""
+    import dataclasses
+
+    g, _, target, tr, te, C = _data(seed=43)
+
+    def fit(max_epoch, resume_from=None):
+        t = ShardedTrainer(
+            g, None, target, tr, te, C,
+            config=dataclasses.replace(
+                CFG, max_epoch=max_epoch, epoch_block=3, dropout=0.5,
+                early_stopping=1000,
+            ),
+            n_shards=2, partition="allgather", kernel="hybrid",
+        )
+        t.fit(verbose=False, resume_from=resume_from)
+        return t
+
+    full = fit(12)
+    part = fit(6)
+    ckpt = part.save_training_state(str(tmp_path / "st"))
+    resumed = fit(12, resume_from=ckpt)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(full.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    want = [h["train_loss"] for h in full.history[6:]]
+    got = [h["train_loss"] for h in resumed.history]
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_sharded_state_metadata_best_val_is_raw_loss(tmp_path):
+    """The checkpoint's best_val field is a raw (positive) val loss — the
+    single-device trainer compares val_loss < best_val on resume, so a
+    negated score would permanently disable best-val tracking."""
+    from textgcn_tpu.train.checkpoint import restore_checkpoint
+
+    g, x, target, tr, te, C = _data(seed=47)
+    t = ShardedTrainer(
+        g, x, target, tr, te, C,
+        config=TrainConfig(n_hidden=8, max_epoch=4, early_stopping=1000,
+                           dropout=0.0, seed=7),
+        n_shards=2,
+    )
+    t.fit(verbose=False)
+    ckpt = t.save_training_state(str(tmp_path / "bv"))
+    md = restore_checkpoint(ckpt)["metadata"]
+    min_vloss = min(h["val_loss"] for h in t.history)
+    np.testing.assert_allclose(float(md["best_val"]), min_vloss, rtol=1e-6)

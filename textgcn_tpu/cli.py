@@ -100,7 +100,8 @@ def cmd_train(args) -> int:
             config=cfg,
             pre_data=pre_data,
             verbose=not args.quiet,
-            save_model=args.save_state,
+            save_model=args.save_model,
+            save_state=args.save_state,
             n_shards=args.shards,
             partition=args.partition,
         )

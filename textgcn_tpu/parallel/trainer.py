@@ -384,13 +384,25 @@ class ShardedTrainer:
             from textgcn_tpu.train.checkpoint import restore_checkpoint
             from textgcn_tpu.train.trainer import _progress_metadata
 
-            # params/opt_state at init already carry this mesh's shardings
-            # (opt.init's zeros_like preserves them), so they double as the
-            # restore template: Orbax re-shards the host-gathered
-            # checkpoint leaves straight onto the mesh.
+            # the on-disk state stores node tables canonically
+            # ([n_nodes, ·], original order — see _tables_to_canonical),
+            # so the restore template swaps each table leaf for a
+            # canonical-shaped host zero array; every other leaf keeps its
+            # init value (shape/dtype source for Orbax)
+            def _tmpl(leaf):
+                if (
+                    self.x is None
+                    and leaf.ndim == 2
+                    and leaf.shape[0] == self.n_pad
+                ):
+                    return np.zeros(
+                        (self.n_nodes, leaf.shape[1]), dtype=leaf.dtype
+                    )
+                return leaf
+
             template = {
-                "params": params,
-                "opt_state": opt_state,
+                "params": jax.tree_util.tree_map(_tmpl, params),
+                "opt_state": jax.tree_util.tree_map(_tmpl, opt_state),
                 "metadata": _progress_metadata(
                     0, np.inf, np.inf, 0, 0, cfg.seed
                 ),
@@ -407,19 +419,37 @@ class ShardedTrainer:
             # replicated-template leaves committed to a single device,
             # which jit rejects next to mesh-sharded arguments — sharded
             # tables (and their Adam moments) take the template's
-            # NamedSharding, everything else replicates over the mesh
+            # NamedSharding, everything else replicates over the mesh.
+            # Node tables on disk are in ORIGINAL node order; re-permute
+            # them into this trainer's (possibly degree-sorted) order.
             rep = NamedSharding(self.mesh, P())
 
             def _place(t, r):
+                a = np.asarray(r)
+                if (
+                    self.x is None
+                    and t.ndim == 2
+                    and t.shape[0] == self.n_pad
+                ):
+                    # scatter the canonical rows over the INIT table (t,
+                    # same seed as the interrupted run): padding rows get
+                    # zero grads, so an uninterrupted run leaves them at
+                    # init — matching them keeps resume bit-identical
+                    base = np.array(t)
+                    if self.perm is not None:
+                        base[self.perm] = a[: len(self.perm)]
+                    else:
+                        base[: a.shape[0]] = a
+                    a = base
                 sh = t.sharding if isinstance(t.sharding, NamedSharding) \
                     else rep
-                return jax.device_put(jnp.asarray(r), sh)
+                return jax.device_put(jnp.asarray(a), sh)
 
             params = jax.tree_util.tree_map(
-                _place, template["params"], state["params"]
+                _place, params, state["params"]
             )
             opt_state = jax.tree_util.tree_map(
-                _place, template["opt_state"], state["opt_state"]
+                _place, opt_state, state["opt_state"]
             )
             start_epoch = int(md["epoch"])
             sb = float(md["stopper_best"])
@@ -502,7 +532,9 @@ class ShardedTrainer:
 
         if self.params is None:
             raise ValueError("fit() first")
-        host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        host_params = self._tables_to_canonical(
+            jax.tree_util.tree_map(np.asarray, self.params)
+        )
         return save_checkpoint(
             path,
             host_params,
@@ -513,6 +545,46 @@ class ShardedTrainer:
                 "partition": {"halo": 0, "allgather": 1}[self.partition],
             },
         )
+
+    # -- checkpoint node-order canonicalization -----------------------------
+    #
+    # kernel='hybrid' relabels nodes by the degree-sort permutation
+    # (self.perm), and different kernels pad to different n_pad. Checkpoints
+    # must be kernel- and mesh-independent, so node-indexed tables are
+    # stored CANONICALLY: [n_nodes, ·], original node order (padding
+    # stripped, permutation undone) — the same shape the single-device
+    # identity trainer uses natively. Tables are recognized by shape — 2-D
+    # leaves with first dim n_pad exist only as identity-feature node
+    # tables (and their Adam moments); dense-feature params are [F, H]-
+    # shaped and never match.
+
+    def _tables_to_canonical(self, tree):
+        if self.x is not None:
+            return tree
+        perm = self.perm
+
+        def fix(leaf):
+            a = np.asarray(leaf)
+            if a.ndim == 2 and a.shape[0] == self.n_pad:
+                return a[perm] if perm is not None else a[: self.n_nodes]
+            return a
+
+        return jax.tree_util.tree_map(fix, tree)
+
+    def _table_from_canonical(self, a: np.ndarray) -> np.ndarray:
+        """One host node table ([n_nodes, ·] canonical, or already padded)
+        → [n_pad, ·] in this trainer's (possibly degree-sorted) order."""
+        if a.shape[0] < self.n_pad:
+            a = np.concatenate(
+                [a, np.zeros(
+                    (self.n_pad - a.shape[0], a.shape[1]), dtype=a.dtype
+                )]
+            )
+        if self.perm is None:
+            return a
+        out = np.zeros_like(a)
+        out[self.perm] = a[: len(self.perm)]
+        return out
 
     def save_training_state(self, path: str) -> str:
         """Resumable checkpoint: params + optimizer state + progress.
@@ -529,15 +601,23 @@ class ShardedTrainer:
         if self.params is None or not hasattr(self, "_opt_state"):
             raise ValueError("fit() first")
         st = self._stopper
-        sb = np.inf if st.best_score is None else st.best_score
+        # best_val is a RAW val loss in the checkpoint schema (the
+        # single-device trainer compares rec["val_loss"] < best_val);
+        # EarlyStopping.best_score is the NEGATED loss — convert.
+        best_val = np.inf if st.best_score is None else -st.best_score
+        stopper_best = np.inf if st.best_score is None else st.best_score
         return save_checkpoint(
             path,
-            jax.tree_util.tree_map(np.asarray, self.params),
-            opt_state=jax.tree_util.tree_map(np.asarray, self._opt_state),
+            self._tables_to_canonical(
+                jax.tree_util.tree_map(np.asarray, self.params)
+            ),
+            opt_state=self._tables_to_canonical(
+                jax.tree_util.tree_map(np.asarray, self._opt_state)
+            ),
             metadata=_progress_metadata(
                 self._epochs_done,
-                sb,
-                sb,
+                best_val,
+                stopper_best,
                 st.counter,
                 int(self._stopped),
                 self.cfg.seed,
@@ -566,18 +646,15 @@ class ShardedTrainer:
                 w1 = np.asarray(leaf)
                 if w1.ndim != 2 or w1.shape[0] < self.n_nodes:
                     continue
-                if w1.shape[0] < self.n_pad:
-                    w1 = np.concatenate(
-                        [w1, np.zeros(
-                            (self.n_pad - w1.shape[0], w1.shape[1]),
-                            dtype=w1.dtype,
-                        )]
-                    )
-                elif w1.shape[0] > self.n_pad:
+                if w1.shape[0] > self.n_pad:
                     raise ValueError(
                         f"checkpoint {name} has {w1.shape[0]} rows > this "
                         f"mesh's padded node count {self.n_pad}"
                     )
+                # checkpoints store tables canonically ([n_nodes, ·],
+                # original node order); pad to this mesh's n_pad and, for
+                # a hybrid-kernel trainer, relabel into degree-sorted order
+                w1 = self._table_from_canonical(w1)
                 params[layer1][name] = jax.device_put(w1, sx)
         self.params = params
         _, _, eval_step = self._build_steps()

@@ -35,35 +35,20 @@ def aggregate(values: List[float]) -> Dict[str, float]:
     }
 
 
-def run_experiment(
+def _prepare_for_training(
     dataset: str,
-    times: int = 1,
-    graph_family: str = "topic",
-    data_root: str = "data",
-    output_dir: str = "results",
-    config: TrainConfig = TrainConfig(),
-    seeds: Optional[List[int]] = None,
-    pre_data: Optional[PreparedData] = None,
-    verbose: bool = True,
-    save_model: Optional[str] = None,
-    save_state: Optional[str] = None,
-    n_shards: Optional[int] = None,
-    partition: str = "halo",
-) -> Dict[str, Any]:
-    """Train `times` seeds on `dataset`; write reports; return summary.
+    graph_family: str,
+    data_root: str,
+    config: TrainConfig,
+    pre_data: Optional[PreparedData],
+    n_shards: Optional[int],
+) -> tuple:
+    """Shared validation + data-prep pipeline for :func:`run_experiment`
+    AND :func:`resume_training` (one copy, so the resume path cannot drift
+    from the fresh-run path: same sharded-model/spmm/GAT gates, same
+    kernel-format application, same sgc_pre precompute).
 
-    ``save_model``: optional checkpoint directory — the best-accuracy run's
-    parameters are saved there via Orbax (the reference's checkpoint path is
-    dead code, reference utils.py:244,254 — here it is a working CLI flag).
-
-    ``save_state``: optional RESUMABLE checkpoint directory — the best run's
-    full training state (params + Adam moments + epoch/early-stop counters),
-    restorable with ``resume_training`` / ``cli train --resume``.
-
-    ``n_shards``: when set, each seed trains on an ``n_shards``-device 1-D
-    mesh via :class:`textgcn_tpu.parallel.trainer.ShardedTrainer` (row-
-    partitioned Â and features, ``partition`` = "halo" ppermute ring or
-    "allgather"), with identical train/val/early-stop/test semantics.
+    Returns ``(pre_data, mesh_kernel)``.
     """
     if n_shards is not None:
         from textgcn_tpu.parallel.trainer import SHARDED_MODELS
@@ -104,7 +89,12 @@ def run_experiment(
             "--spmm segment (or auto) with --model gat"
         )
     if pre_data is None:
-        pre_data = prepare_topic_data(dataset, data_root=data_root)
+        if graph_family == "docword":
+            from textgcn_tpu.train.prepare import prepare_docword_data
+
+            pre_data = prepare_docword_data(dataset, data_root=data_root)
+        else:
+            pre_data = prepare_topic_data(dataset, data_root=data_root)
     from textgcn_tpu.train.prepare import apply_spmm_format
 
     # every family except GAT propagates through spmm(graph, ·), so the
@@ -117,8 +107,6 @@ def run_experiment(
         # compiled train step that follows contains no sparse op at all
         # (models/sgc.py sgc_precompute). This is how the committed
         # results/R8_topic_sgcpre_* numbers are (re)produced.
-        import numpy as _np
-
         from textgcn_tpu.models.sgc import sgc_precompute
 
         if pre_data.features is None:
@@ -129,10 +117,81 @@ def run_experiment(
             )
         pre_data = dataclasses.replace(
             pre_data,
-            features=_np.asarray(
+            features=np.asarray(
                 sgc_precompute(pre_data.graph, pre_data.features)
             ),
         )
+    return pre_data, mesh_kernel
+
+
+def _make_trainer(
+    pre_data: PreparedData,
+    cfg: TrainConfig,
+    n_shards: Optional[int],
+    partition: str,
+    mesh_kernel: str,
+):
+    """Construct the (Sharded)Trainer — the one construction site shared by
+    fresh runs and resumes."""
+    if n_shards is not None:
+        from textgcn_tpu.parallel.trainer import ShardedTrainer
+
+        return ShardedTrainer(
+            pre_data.graph,
+            pre_data.features,
+            pre_data.labels.target,
+            pre_data.labels.train_idx,
+            pre_data.labels.test_idx,
+            pre_data.labels.n_classes,
+            config=cfg,
+            n_shards=n_shards,
+            partition=partition,
+            kernel=mesh_kernel,
+        )
+    return Trainer(
+        pre_data.graph,
+        pre_data.features,
+        pre_data.labels.target,
+        pre_data.labels.train_idx,
+        pre_data.labels.test_idx,
+        pre_data.labels.n_classes,
+        config=cfg,
+    )
+
+
+def run_experiment(
+    dataset: str,
+    times: int = 1,
+    graph_family: str = "topic",
+    data_root: str = "data",
+    output_dir: str = "results",
+    config: TrainConfig = TrainConfig(),
+    seeds: Optional[List[int]] = None,
+    pre_data: Optional[PreparedData] = None,
+    verbose: bool = True,
+    save_model: Optional[str] = None,
+    save_state: Optional[str] = None,
+    n_shards: Optional[int] = None,
+    partition: str = "halo",
+) -> Dict[str, Any]:
+    """Train `times` seeds on `dataset`; write reports; return summary.
+
+    ``save_model``: optional checkpoint directory — the best-accuracy run's
+    parameters are saved there via Orbax (the reference's checkpoint path is
+    dead code, reference utils.py:244,254 — here it is a working CLI flag).
+
+    ``save_state``: optional RESUMABLE checkpoint directory — the best run's
+    full training state (params + Adam moments + epoch/early-stop counters),
+    restorable with ``resume_training`` / ``cli train --resume``.
+
+    ``n_shards``: when set, each seed trains on an ``n_shards``-device 1-D
+    mesh via :class:`textgcn_tpu.parallel.trainer.ShardedTrainer` (row-
+    partitioned Â and features, ``partition`` = "halo" ppermute ring or
+    "allgather"), with identical train/val/early-stop/test semantics.
+    """
+    pre_data, mesh_kernel = _prepare_for_training(
+        dataset, graph_family, data_root, config, pre_data, n_shards
+    )
     seeds = seeds or generate_seeds(times)
 
     best_acc = -1.0
@@ -140,31 +199,9 @@ def run_experiment(
     runs: List[Dict[str, Any]] = []
     for i, seed in enumerate(seeds):
         cfg = dataclasses.replace(config, seed=seed)
-        if n_shards is not None:
-            from textgcn_tpu.parallel.trainer import ShardedTrainer
-
-            trainer = ShardedTrainer(
-                pre_data.graph,
-                pre_data.features,
-                pre_data.labels.target,
-                pre_data.labels.train_idx,
-                pre_data.labels.test_idx,
-                pre_data.labels.n_classes,
-                config=cfg,
-                n_shards=n_shards,
-                partition=partition,
-                kernel=mesh_kernel,
-            )
-        else:
-            trainer = Trainer(
-                pre_data.graph,
-                pre_data.features,
-                pre_data.labels.target,
-                pre_data.labels.train_idx,
-                pre_data.labels.test_idx,
-                pre_data.labels.n_classes,
-                config=cfg,
-            )
+        trainer = _make_trainer(
+            pre_data, cfg, n_shards, partition, mesh_kernel
+        )
         trainer.fit(verbose=verbose)
         test_desc = trainer.test()
         if verbose:
@@ -228,6 +265,7 @@ def resume_training(
     pre_data: Optional[PreparedData] = None,
     verbose: bool = True,
     save_model: Optional[str] = None,
+    save_state: Optional[str] = None,
     n_shards: Optional[int] = None,
     partition: str = "halo",
 ) -> Dict[str, Any]:
@@ -237,49 +275,29 @@ def resume_training(
     The seed is read from the checkpoint so the dropout-key stream and
     train/val split continue identically; the resumed trajectory is
     bit-identical to an uninterrupted run (test-pinned in
-    tests/test_checkpoint.py). With ``n_shards``, training resumes on an
+    tests/test_checkpoint.py). Data prep, validation, and trainer
+    construction go through the same :func:`_prepare_for_training` /
+    :func:`_make_trainer` as :func:`run_experiment` — the spmm format,
+    mesh kernel, and sgc_pre precompute a run was trained with apply
+    identically on resume.
+
+    ``save_model`` saves an eval (params-only) checkpoint of the resumed
+    run; ``save_state`` saves a new resumable state (as in
+    :func:`run_experiment`). With ``n_shards``, training resumes on an
     ``n_shards``-device mesh — the checkpoint is mesh-independent
     (host-gathered numpy), so a single-device run can resume sharded and
     vice versa.
     """
     from textgcn_tpu.train.checkpoint import restore_checkpoint
-    from textgcn_tpu.train.prepare import apply_spmm_format
 
     saved_seed = int(restore_checkpoint(resume_dir)["metadata"]["seed"])
     config = dataclasses.replace(config, seed=saved_seed)
-    if pre_data is None:
-        if graph_family == "docword":
-            from textgcn_tpu.train.prepare import prepare_docword_data
-
-            pre_data = prepare_docword_data(dataset, data_root=data_root)
-        else:
-            pre_data = prepare_topic_data(dataset, data_root=data_root)
-    if n_shards is None and getattr(config, "model", "gcn") != "gat":
-        pre_data = apply_spmm_format(pre_data, config.spmm)
-    if n_shards is not None:
-        from textgcn_tpu.parallel.trainer import ShardedTrainer
-
-        trainer = ShardedTrainer(
-            pre_data.graph,
-            pre_data.features,
-            pre_data.labels.target,
-            pre_data.labels.train_idx,
-            pre_data.labels.test_idx,
-            pre_data.labels.n_classes,
-            config=config,
-            n_shards=n_shards,
-            partition=partition,
-        )
-    else:
-        trainer = Trainer(
-            pre_data.graph,
-            pre_data.features,
-            pre_data.labels.target,
-            pre_data.labels.train_idx,
-            pre_data.labels.test_idx,
-            pre_data.labels.n_classes,
-            config=config,
-        )
+    pre_data, mesh_kernel = _prepare_for_training(
+        dataset, graph_family, data_root, config, pre_data, n_shards
+    )
+    trainer = _make_trainer(
+        pre_data, config, n_shards, partition, mesh_kernel
+    )
     trainer.fit(verbose=verbose, resume_from=resume_dir)
     test_desc = trainer.test()
     if verbose:
@@ -305,7 +323,11 @@ def resume_training(
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     if save_model:
-        summary["checkpoint"] = trainer.save_training_state(save_model)
+        summary["checkpoint"] = trainer.save(save_model)
+    if save_state:
+        summary["resumable_checkpoint"] = trainer.save_training_state(
+            save_state
+        )
     write_reports(summary, output_dir)
     return summary
 

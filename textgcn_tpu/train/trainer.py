@@ -348,7 +348,11 @@ class Trainer:
                     break
         self.train_time = time.time() - start
         self.params = best_params if cfg.restore_best else params
-        # live training state for save_training_state (mid-training resume)
+        # live training state for save_training_state (mid-training resume);
+        # under restore_best self.params is the best-epoch snapshot, which
+        # must NOT be checkpointed next to the final epoch's Adam moments —
+        # the resumable state is always the end-of-run params
+        self._live_params = params
         self._opt_state = opt_state
         self._best_val = best_val
         self._stopper = stopper
@@ -372,7 +376,7 @@ class Trainer:
         st = self._stopper
         return save_checkpoint(
             path,
-            self.params,
+            self._live_params,
             opt_state=self._opt_state,
             metadata=_progress_metadata(
                 self._epochs_done,
