@@ -289,30 +289,69 @@ class ShardedTrainer:
             conf = _confusion_from_logits(logits, y, w, C)
             return loss, conf
 
+        patience = cfg.early_stopping
+
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_block(params, opt_state, rngs, x, y, tw, vw):
+        def train_block(params, opt_state, rngs, x, y, tw, vw,
+                        es_best, es_counter):
             """``len(rngs)`` epochs in ONE dispatch via ``lax.scan`` — the
             mesh path amortizes host→device dispatch exactly like the
             single-device ``_train_block`` (round-2 verdict weak #2: the
-            sharded trainer used to dispatch per epoch). Per-epoch param
-            snapshots are stacked (sharded leaves stay sharded, stacked on
-            a new leading axis) so host-side early stopping can restore
-            the exact params at the stopping epoch."""
+            sharded trainer used to dispatch per epoch).
+
+            Instead of stacking a per-epoch snapshot of every parameter
+            leaf (O(block · params) HBM — ~8 GB/block for a 1M-node
+            identity table at H=200), the scan carries ONE extra params
+            copy and an in-scan replica of the EarlyStopping arithmetic
+            (train/trainer.py:69-79, delta=0): when the patience counter
+            first fires, the current params are latched into
+            ``stop_params``. The host stopper stays authoritative for
+            control flow — it replays the same val losses and reads the
+            latched copy when it fires (both sides compare the identical
+            f32 val-loss values, so they agree epoch-for-epoch).
+            ``es_best``/``es_counter`` carry the host stopper's state
+            across blocks (-inf ≡ "no best yet": the first score always
+            improves, matching EarlyStopping's None case)."""
 
             def epoch(carry, rng):
-                params, opt_state = carry
+                params, opt_state, best, counter, stopped, stop_params = \
+                    carry
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, x, y, tw, rng
                 )
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 vloss, vconf = eval_impl(params, x, y, vw)
-                return (params, opt_state), (params, loss, vloss, vconf)
+                score = -vloss
+                improved = score >= best  # delta=0; ties count as improved
+                counter = jnp.where(improved, 0, counter + 1)
+                best = jnp.where(improved, score, best)
+                fire = jnp.logical_and(
+                    jnp.logical_not(improved), counter >= patience
+                )
+                newly = jnp.logical_and(fire, jnp.logical_not(stopped))
+                stop_params = jax.tree_util.tree_map(
+                    lambda sp, p: jnp.where(newly, p, sp),
+                    stop_params,
+                    params,
+                )
+                stopped = jnp.logical_or(stopped, fire)
+                return (
+                    (params, opt_state, best, counter, stopped, stop_params),
+                    (loss, vloss, vconf),
+                )
 
-            (params, opt_state), outs = jax.lax.scan(
-                epoch, (params, opt_state), rngs
+            init = (
+                params,
+                opt_state,
+                jnp.asarray(es_best, jnp.float32),
+                jnp.asarray(es_counter, jnp.int32),
+                jnp.asarray(False),
+                params,
             )
-            return params, opt_state, outs
+            carry, outs = jax.lax.scan(epoch, init, rngs)
+            params, opt_state = carry[0], carry[1]
+            return params, opt_state, carry[5], outs
 
         @jax.jit
         def eval_step(params, x, y, w):
@@ -466,12 +505,15 @@ class ShardedTrainer:
         while epoch < cfg.max_epoch and not stopped:
             n_epochs = min(block, cfg.max_epoch - epoch)
             rngs = all_rngs[epoch : epoch + n_epochs]
-            params, opt_state, outs = train_block(
-                params, opt_state, rngs, self.x, self.y, train_mask, val_mask
+            es_best = (
+                -np.inf if stopper.best_score is None else stopper.best_score
             )
-            s_params, tloss, vloss, vconf = outs
+            params, opt_state, stop_params, outs = train_block(
+                params, opt_state, rngs, self.x, self.y, train_mask,
+                val_mask, es_best, stopper.counter,
+            )
             tloss, vloss, vconf = (
-                np.asarray(a) for a in (tloss, vloss, vconf)
+                np.asarray(a) for a in outs
             )
             for j in range(n_epochs):
                 rec = {
@@ -491,11 +533,9 @@ class ShardedTrainer:
                         )
                     )
                 if stopper(rec["val_loss"]):
-                    # restore the exact params at the stopping epoch
-                    # (sharded leaves slice shard-locally under jit)
-                    params = jax.tree_util.tree_map(
-                        lambda a: a[j], s_params
-                    )
+                    # the scan latched the params at the first fire epoch
+                    # (same stopping arithmetic replayed in-scan)
+                    params = stop_params
                     stopped = True
                     break
         self.train_time = time.time() - start
