@@ -490,14 +490,19 @@ def streamed_train_perf(
     n: int = 10_000_000,
     deg: int = 25,
     f: int = 32,
-    h: int = 32,
-    c: int = 16,
-    chunk: int = 8_000_000,
+    h: int = 16,
+    c: int = 8,
+    chunk: int = 4_000_000,
 ) -> dict:
     """ONE full train step (fwd + bwd + Adam) at the BASELINE scale config
     — 10M nodes, ~500M symmetric edges — on one chip via the streamed
     symmetric-VJP SpMM (round-2 verdict item #3: the scale config must be
-    TRAINED through, not just inferred). 4 streamed passes per step."""
+    TRAINED through, not just inferred). 4 streamed passes per step.
+
+    Shape budget for the 16 GB chip: the step holds x (bf16, 0.64 GB),
+    ~6 [N, H]/[N, C] f32 activations + cotangents (≤0.64 GB each at
+    H=16), and one 4M-edge chunk's gather buffers in flight (~0.3 GB) —
+    h=32/c=16/chunk=8M doubled all three and crashed the TPU worker."""
     import gc
 
     import jax
@@ -508,7 +513,7 @@ def streamed_train_perf(
 
     from textgcn_tpu.train.streamed import (
         init_streamed,
-        make_streamed_train_step,
+        make_streamed_train_step_segmented,
         symmetrize_edge_fn,
     )
 
@@ -531,7 +536,14 @@ def streamed_train_perf(
         lambda k: (jax.random.uniform(k, (n,)) < 0.5).astype(jnp.float32)
     )(jax.random.PRNGKey(2))
     params, _, opt_state = init_streamed(jax.random.PRNGKey(3), f, h, c)
-    step = make_streamed_train_step(sym_fn, n, 2 * n_chunks)
+    # the SEGMENTED step: the monolithic one-dispatch step crashes the
+    # tunneled TPU worker purely by exceeding its execution-time ceiling
+    # at this edge count (duration, not memory: the same shapes pass at
+    # 100M edges and fail at 250M+) — spmm_streamed_multi bounds every
+    # dispatch to 16 chunks (~64M edge-ops) with a donated accumulator
+    step = make_streamed_train_step_segmented(
+        sym_fn, n, 2 * n_chunks, chunks_per_dispatch=16
+    )
     params, opt_state, loss = step(params, opt_state, x, y, mask)
     float(loss)  # compile + warmup readback
     t0 = time.perf_counter()
@@ -549,7 +561,8 @@ def streamed_train_perf(
     }
     log(
         f"[bench] streamed TRAIN step at 10M/{e_sym // 1_000_000}M edges: "
-        f"{dt:.1f} s/step (4 streamed passes, loss={loss_v:.4f})"
+        f"{dt:.1f} s/step (4 streamed passes, segmented dispatches, "
+        f"loss={loss_v:.4f})"
     )
     return res
 

@@ -119,6 +119,12 @@ def run_train_stream(args) -> int:
     Model dims default to F=32/H=32/C=16 so activations fit 16 GB:
     x bf16 0.64 GB + five [10M, 32] f32 activation/cotangent buffers
     ~6.4 GB + residuals; params/Adam state are KB-scale.
+
+    Uses the SEGMENTED step (manual backward, bounded dispatches —
+    train/streamed.py make_streamed_train_step_segmented): tunneled TPU
+    workers kill single XLA programs running past ~1-2 minutes, which a
+    monolithic 500M-edge step always does. ``--seg_chunks 0`` selects
+    the monolithic autodiff step for non-tunneled setups.
     """
     import jax
     import jax.numpy as jnp
@@ -126,6 +132,7 @@ def run_train_stream(args) -> int:
     from textgcn_tpu.train.streamed import (
         init_streamed,
         make_streamed_train_step,
+        make_streamed_train_step_segmented,
         symmetrize_edge_fn,
     )
 
@@ -156,7 +163,12 @@ def run_train_stream(args) -> int:
     )(jax.random.PRNGKey(2))
 
     params, _, opt_state = init_streamed(jax.random.PRNGKey(3), f, h, c)
-    step = make_streamed_train_step(sym_fn, n, 2 * n_chunks)
+    if getattr(args, "seg_chunks", 16):
+        step = make_streamed_train_step_segmented(
+            sym_fn, n, 2 * n_chunks, chunks_per_dispatch=args.seg_chunks
+        )
+    else:
+        step = make_streamed_train_step(sym_fn, n, 2 * n_chunks)
     params, opt_state, loss = step(params, opt_state, x, y, mask)
     print(
         f"[train-stream] compile+warmup loss={float(loss):.4f}",
@@ -221,7 +233,15 @@ def main() -> int:
         action="store_true",
         help="FULL train step (fwd+bwd+Adam) over the symmetrized edge "
         "stream at the BASELINE scale (use with --n 10000000 --deg 25 "
-        "--f 32 --hidden 32 --classes 16)",
+        "--f 32 --hidden 16 --classes 8)",
+    )
+    p.add_argument(
+        "--seg_chunks",
+        type=int,
+        default=16,
+        help="chunks per dispatch for the segmented train step (bounds "
+        "single-program runtime under tunneled workers); 0 = monolithic "
+        "one-dispatch autodiff step",
     )
     args = p.parse_args()
 

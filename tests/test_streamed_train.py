@@ -129,3 +129,72 @@ def test_streamed_training_reduces_loss():
         params, opt_state, loss = step(params, opt_state, x, y, mask)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_segmented_step_matches_monolithic():
+    """The host-segmented train step (manual backward, bounded dispatches —
+    make_streamed_train_step_segmented) must reproduce the monolithic
+    autodiff step's loss and every updated parameter, including with an
+    uneven final segment."""
+    from textgcn_tpu.ops.spmm import spmm_streamed, spmm_streamed_multi
+    from textgcn_tpu.train.streamed import make_streamed_train_step_segmented
+
+    n, f, h, c = 64, 12, 8, 3
+    edge_fn, _ = _toy_stream(n)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(n, f), dtype=jnp.float32)
+    y = jnp.asarray(rng.randint(0, c, n), dtype=jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), dtype=jnp.float32)
+
+    # the segmented spmm itself, with seg=3 over 8 chunks (uneven tail)
+    want_agg = spmm_streamed(sym_fn, x, n, 8)
+    got_agg = spmm_streamed_multi(sym_fn, x, n, 8, chunks_per_dispatch=3)
+    np.testing.assert_allclose(
+        np.asarray(got_agg), np.asarray(want_agg), rtol=1e-6, atol=1e-6
+    )
+
+    params, opt, opt_state = init_streamed(jax.random.PRNGKey(9), f, h, c)
+    mono = make_streamed_train_step(sym_fn, n, 8, stream_dtype=jnp.float32)
+    p_m, _, loss_m = mono(params, opt_state, x, y, mask)
+
+    params2, _, opt_state2 = init_streamed(jax.random.PRNGKey(9), f, h, c)
+    segd = make_streamed_train_step_segmented(
+        sym_fn, n, 8, stream_dtype=jnp.float32, chunks_per_dispatch=3
+    )
+    p_s, _, loss_s = segd(params2, opt_state2, x, y, mask)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-6)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_m),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6,
+            err_msg=str(ka),
+        )
+
+
+def test_segmented_step_reduces_loss_bf16():
+    """Segmented step with the production bf16 stream dtype trains."""
+    from textgcn_tpu.train.streamed import make_streamed_train_step_segmented
+
+    n, f, h, c = 64, 12, 8, 3
+    edge_fn, _ = _toy_stream(n, seed=5)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(6)
+    y_np = rng.randint(0, c, n)
+    x = jnp.asarray(
+        rng.randn(n, f) * 0.1 + np.eye(c)[y_np][:, (np.arange(f) % c)],
+        dtype=jnp.bfloat16,
+    )
+    y = jnp.asarray(y_np, dtype=jnp.int32)
+    mask = jnp.ones((n,), dtype=jnp.float32)
+    params, opt, opt_state = init_streamed(jax.random.PRNGKey(7), f, h, c)
+    step = make_streamed_train_step_segmented(sym_fn, n, 8)
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state, x, y, mask)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses

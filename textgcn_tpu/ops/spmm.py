@@ -257,20 +257,81 @@ def spmm_streamed(
     """
 
     def body(i, acc):
-        row, col, val = edge_fn(i)
-        gathered = jnp.take(
-            x, col, axis=0, mode="fill", fill_value=0, unique_indices=False
-        )
-        contrib = gathered * val[:, None].astype(x.dtype)
-        return acc.at[row].add(
-            contrib.astype(jnp.float32),
-            indices_are_sorted=False,
-            unique_indices=False,
-            mode="drop",
-        )
+        return _stream_chunk_add(edge_fn, x, i, acc)
 
     acc = jnp.zeros((n_nodes, x.shape[1]), dtype=jnp.float32)
     return jax.lax.fori_loop(0, n_chunks, body, acc)
+
+
+def _stream_chunk_add(edge_fn, x, i, acc):
+    """Scatter-add chunk ``i``'s gather product into the accumulator (the
+    shared loop body of :func:`spmm_streamed` and the segmented variant)."""
+    row, col, val = edge_fn(i)
+    gathered = jnp.take(
+        x, col, axis=0, mode="fill", fill_value=0, unique_indices=False
+    )
+    contrib = gathered * val[:, None].astype(x.dtype)
+    return acc.at[row].add(
+        contrib.astype(jnp.float32),
+        indices_are_sorted=False,
+        unique_indices=False,
+        mode="drop",
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("edge_fn", "seg", "n_nodes"),
+    donate_argnums=(2,),
+)
+def _spmm_stream_segment(edge_fn, x, acc, lo, seg, n_nodes):
+    """``seg`` chunks starting at traced offset ``lo``, accumulator donated
+    (one [N, F] f32 buffer alive across the whole host-segmented pass)."""
+    del n_nodes
+
+    def body(j, a):
+        return _stream_chunk_add(edge_fn, x, lo + j, a)
+
+    return jax.lax.fori_loop(0, seg, body, acc)
+
+
+def spmm_streamed_multi(
+    edge_fn,
+    x: jnp.ndarray,
+    n_nodes: int,
+    n_chunks: int,
+    chunks_per_dispatch: int = 32,
+) -> jnp.ndarray:
+    """:func:`spmm_streamed` split into MULTIPLE device dispatches.
+
+    Identical math (same chunk body, same f32 accumulator — donated
+    across segments, so exactly one [N, F] buffer lives regardless of
+    segment count), but no single XLA program runs longer than
+    ``chunks_per_dispatch`` chunks. Needed on tunneled single-chip
+    setups whose worker kills executions running past ~1-2 minutes
+    (observed empirically: the monolithic 10M-node/500M-edge train step
+    crashes the axon TPU worker purely as a function of dispatch
+    DURATION — the same shapes succeed at lower edge counts and fail at
+    higher ones with memory held constant). Two compilations per
+    (shape, seg): the full segment and, when ``seg ∤ n_chunks``, the
+    remainder. The chunk offset ``lo`` is a traced scalar, so advancing
+    through the stream never retraces. NOT differentiable — used by the
+    manual-backward segmented train step (train/streamed.py).
+    """
+    seg = max(1, min(chunks_per_dispatch, n_chunks))
+    acc = jnp.zeros((n_nodes, x.shape[1]), dtype=jnp.float32)
+    n_full = n_chunks // seg
+    for k in range(n_full):
+        acc = _spmm_stream_segment(
+            edge_fn, x, acc, jnp.asarray(k * seg, jnp.int32), seg, n_nodes
+        )
+    rem = n_chunks - n_full * seg
+    if rem:
+        acc = _spmm_stream_segment(
+            edge_fn, x, acc, jnp.asarray(n_full * seg, jnp.int32), rem,
+            n_nodes,
+        )
+    return acc
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))

@@ -125,6 +125,149 @@ def make_streamed_train_step(
     return step
 
 
+def make_streamed_train_step_segmented(
+    edge_fn,
+    n_nodes: int,
+    n_chunks: int,
+    optimizer=None,
+    lr: float = 0.02,
+    stream_dtype=jnp.bfloat16,
+    chunks_per_dispatch: int = 32,
+):
+    """The streamed train step split into BOUNDED device dispatches.
+
+    :func:`make_streamed_train_step` compiles the whole step (4 streamed
+    passes) into ONE XLA program; at the BASELINE 10M-node/500M-edge
+    shape that program runs for minutes, and tunneled single-chip
+    workers kill executions past ~1-2 minutes (observed: the monolithic
+    step crashes the axon TPU worker as a function of dispatch duration
+    alone — same shapes pass at 100M edges, fail at 250M+). This variant
+    writes the 2-layer GCN backward BY HAND — four independent streamed
+    passes (Â s₁, Â s₂ forward; Âᵀg₂ = Âg₂, Âᵀg₁ = Âg₁ backward, using
+    symmetry), each host-segmented via
+    :func:`textgcn_tpu.ops.spmm.spmm_streamed_multi` so no dispatch
+    exceeds ``chunks_per_dispatch`` chunks — while the dense head/tail
+    pieces stay jitted. Numerics mirror the autodiff path's cast
+    placement exactly (stream in ``stream_dtype``, f32 accumulation,
+    cotangents re-cast at the same points); oracle-pinned against the
+    monolithic step in tests/test_streamed_train.py.
+    """
+    from textgcn_tpu.ops.spmm import spmm_streamed_multi
+
+    opt = optimizer or optax.adam(lr)
+
+    @jax.jit
+    def fwd_dense1(params, x):
+        s1 = jnp.dot(
+            x, params["gc1"]["w"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return s1.astype(stream_dtype)
+
+    @jax.jit
+    def fwd_dense2(params, a1):
+        # pre1 is NOT kept: relu'(pre1) = 1[pre1>0] = 1[h>0] (h = max(pre1,
+        # 0)), so the mask reconstructs from h — one less [N, H] resident
+        h = jax.nn.relu(a1 + params["gc1"]["b"])
+        s2 = jnp.dot(
+            h, params["gc2"]["w"], preferred_element_type=jnp.float32
+        )
+        return h, s2.astype(stream_dtype)
+
+    @jax.jit
+    def loss_and_head_grad(params, a2, y, mask):
+        logits = a2 + params["gc2"]["b"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        denom = jnp.sum(mask)
+        loss = jnp.sum(nll * mask) / denom
+        # d loss / d logits for masked-mean CE: (softmax - onehot) · w
+        p = jnp.exp(logp)
+        onehot = jax.nn.one_hot(y, logits.shape[1], dtype=p.dtype)
+        g_logits = (p - onehot) * (mask / denom)[:, None]
+        db2 = jnp.sum(g_logits, axis=0)
+        return loss, g_logits.astype(stream_dtype), db2
+
+    @jax.jit
+    def bwd_mid(params, g_s2_acc, h):
+        # mirror the autodiff cast chain: the streamed op's cotangent is
+        # returned in stream_dtype, then the forward's f32→stream cast
+        # backprops it to f32
+        g_s2 = g_s2_acc.astype(stream_dtype).astype(jnp.float32)
+        dw2 = jnp.dot(h.T, g_s2, preferred_element_type=jnp.float32)
+        g_h = jnp.dot(
+            g_s2, params["gc2"]["w"].T, preferred_element_type=jnp.float32
+        )
+        g_pre1 = jnp.where(h > 0, g_h, 0.0)
+        db1 = jnp.sum(g_pre1, axis=0)
+        return dw2, g_pre1.astype(stream_dtype), db1
+
+    @jax.jit
+    def apply_grads(params, opt_state, x, g_s1_acc, dw2, db1, db2):
+        g_s1 = g_s1_acc.astype(stream_dtype).astype(jnp.float32)
+        dw1 = jnp.dot(
+            x.T, g_s1, preferred_element_type=jnp.float32
+        ).astype(params["gc1"]["w"].dtype)
+        grads = {
+            "gc1": {"w": dw1, "b": db1},
+            "gc2": {"w": dw2.astype(params["gc2"]["w"].dtype), "b": db2},
+        }
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    def stream(v):
+        # pad narrow operands to 128 lanes before streaming: the TPU's
+        # random-row scatter/gather is GRANULE-bound (512 B), so a 16-wide
+        # f32 accumulator row (64 B) pays the full granule per edge while
+        # doing 1/8 of the work — measured 9M edges/s at F=16 vs 41M at
+        # F=128 on the 10M-node table (same chunking, same chip). Padding
+        # with zero columns makes each scatter row exactly one granule;
+        # the zero lanes cost nothing extra because the granule moves
+        # either way. Peak transient: one [N, 128] f32 accumulator
+        # (5.1 GB at 10M nodes) — only one streamed pass is live at a
+        # time, so this fits next to the narrow resident activations.
+        w = v.shape[1]
+        if w >= 128:
+            return spmm_streamed_multi(
+                edge_fn, v, n_nodes, n_chunks, chunks_per_dispatch
+            )
+        vp = jnp.pad(v, ((0, 0), (0, 128 - w)))
+        out = spmm_streamed_multi(
+            edge_fn, vp, n_nodes, n_chunks, chunks_per_dispatch
+        )
+        return out[:, :w]
+
+    def step(params, opt_state, x, y, mask):
+        # dead intermediates are deleted EAGERLY: at the 10M-node shape the
+        # padded streaming transients alone peak at ~8 GB, so every [N, ·]
+        # array must die the moment its last consumer ran or the step
+        # oversubscribes the 16 GB chip
+        s1 = fwd_dense1(params, x)
+        a1 = stream(s1)
+        s1.delete()
+        h, s2 = fwd_dense2(params, a1)
+        a1.delete()
+        a2 = stream(s2)
+        s2.delete()
+        loss, g_logits, db2 = loss_and_head_grad(params, a2, y, mask)
+        a2.delete()
+        g_s2_acc = stream(g_logits)
+        g_logits.delete()
+        dw2, g_pre1, db1 = bwd_mid(params, g_s2_acc, h)
+        g_s2_acc.delete()
+        h.delete()
+        g_s1_acc = stream(g_pre1)
+        g_pre1.delete()
+        params, opt_state = apply_grads(
+            params, opt_state, x, g_s1_acc, dw2, db1, db2
+        )
+        g_s1_acc.delete()
+        return params, opt_state, loss
+
+    return step
+
+
 def init_streamed(
     key: jax.Array, n_feat: int, n_hidden: int, n_class: int, lr: float = 0.02
 ) -> Tuple[Dict[str, Any], Any, Any]:
