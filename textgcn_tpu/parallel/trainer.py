@@ -259,9 +259,13 @@ class ShardedTrainer:
     # -- compiled steps -----------------------------------------------------
 
     def _forward(self):
-        pg, mesh, cfg = self.pg, self.mesh, self.cfg
+        mesh, cfg = self.mesh, self.cfg
         fwd = SHARDED_MODELS[self.model][1]
-        return lambda params, x, train, rng: fwd(
+        # pg is an ARGUMENT, not a closure capture: captured device arrays
+        # bake into the compiled HLO as literals, and a multi-MB edge/plan
+        # pytree then blows a tunneled remote-compile request (the same
+        # HTTP-413 failure bench.py's time_chained documents)
+        return lambda params, pg, x, train, rng: fwd(
             params, pg, x, mesh, dropout=cfg.dropout, train=train, rng=rng
         )
 
@@ -275,14 +279,14 @@ class ShardedTrainer:
         opt = _adam(cfg.lr)
         fwd = self._forward()
 
-        def loss_fn(params, x, y, w, rng):
-            logits = fwd(params, x, True, rng)
+        def loss_fn(params, pg, x, y, w, rng):
+            logits = fwd(params, pg, x, True, rng)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
             return jnp.sum(nll * w) / jnp.sum(w)
 
-        def eval_impl(params, x, y, w):
-            logits = fwd(params, x, False, None)
+        def eval_impl(params, pg, x, y, w):
+            logits = fwd(params, pg, x, False, None)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
             loss = jnp.sum(nll * w) / jnp.sum(w)
@@ -292,7 +296,7 @@ class ShardedTrainer:
         patience = cfg.early_stopping
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_block(params, opt_state, rngs, x, y, tw, vw,
+        def train_block(params, opt_state, rngs, pg, x, y, tw, vw,
                         es_best, es_counter):
             """``len(rngs)`` epochs in ONE dispatch via ``lax.scan`` — the
             mesh path amortizes host→device dispatch exactly like the
@@ -317,11 +321,11 @@ class ShardedTrainer:
                 params, opt_state, best, counter, stopped, stop_params = \
                     carry
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    params, x, y, tw, rng
+                    params, pg, x, y, tw, rng
                 )
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                vloss, vconf = eval_impl(params, x, y, vw)
+                vloss, vconf = eval_impl(params, pg, x, y, vw)
                 score = -vloss
                 improved = score >= best  # delta=0; ties count as improved
                 counter = jnp.where(improved, 0, counter + 1)
@@ -354,8 +358,8 @@ class ShardedTrainer:
             return params, opt_state, carry[5], outs
 
         @jax.jit
-        def eval_step(params, x, y, w):
-            return eval_impl(params, x, y, w)
+        def eval_step(params, pg, x, y, w):
+            return eval_impl(params, pg, x, y, w)
 
         return opt, train_block, eval_step
 
@@ -509,8 +513,8 @@ class ShardedTrainer:
                 -np.inf if stopper.best_score is None else stopper.best_score
             )
             params, opt_state, stop_params, outs = train_block(
-                params, opt_state, rngs, self.x, self.y, train_mask,
-                val_mask, es_best, stopper.counter,
+                params, opt_state, rngs, self.pg, self.x, self.y,
+                train_mask, val_mask, es_best, stopper.counter,
             )
             tloss, vloss, vconf = (
                 np.asarray(a) for a in outs
@@ -548,7 +552,9 @@ class ShardedTrainer:
         return {"epochs_run": len(self.history), "train_time": self.train_time}
 
     def evaluate(self, mask, prefix: str = "test") -> Dict[str, float]:
-        loss, conf = self._eval_step(self.params, self.x, self.y, mask)
+        loss, conf = self._eval_step(
+            self.params, self.pg, self.x, self.y, mask
+        )
         out = metrics_from_confusion(conf)
         out[f"{prefix}_loss"] = float(loss)
         return out
