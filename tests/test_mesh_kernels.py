@@ -300,7 +300,7 @@ def test_run_experiment_sharded_onehot(tmp_path, monkeypatch):
     assert 0.0 <= summary["test_accuracy"]["mean"] <= 1.0
 
 
-@pytest.mark.parametrize("model", ["sgc", "appnp", "gin"])
+@pytest.mark.parametrize("model", ["sgc", "appnp", "gin", "gcnii"])
 @pytest.mark.parametrize("partition", ["halo", "allgather"])
 def test_sharded_propagation_families_match_single_device(model, partition):
     """SGC / APPNP / GIN on the mesh: every family whose only collective

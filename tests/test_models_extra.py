@@ -316,3 +316,66 @@ def test_gin_trains_end_to_end_via_registry():
     assert res["acc"] > 0.6
     # eps is learnable: it must have moved off its 0 init
     assert float(jnp.abs(t.params["gin1"]["eps"])) > 0.0
+
+
+def test_gcnii_forward_matches_numpy_oracle():
+    """K-layer GCNII vs a literal numpy transcription of the recurrence:
+    s_l = (1-a) A h + a h0; h_l = relu((1-b_l) s + b_l s W_l)."""
+    import jax
+
+    from textgcn_tpu.models.gcnii import (
+        DEFAULT_ALPHA,
+        DEFAULT_LAMBDA,
+        gcnii_forward,
+        gcnii_init,
+    )
+
+    g, x, _ = _separable_problem(seed=21)
+    params = gcnii_init(jax.random.PRNGKey(4), 8, 16, 2, k=4)
+    got = np.asarray(gcnii_forward(params, g, jnp.asarray(x), train=False))
+
+    a = np.asarray(g.to_scipy().todense())
+    h0 = np.maximum(
+        x @ np.asarray(params["fc_in"]["w"]) + np.asarray(params["fc_in"]["b"]),
+        0.0,
+    )
+    h = h0
+    for layer in range(4):
+        beta = np.log(DEFAULT_LAMBDA / (layer + 1) + 1.0)
+        s = (1.0 - DEFAULT_ALPHA) * (a @ h) + DEFAULT_ALPHA * h0
+        w = np.asarray(params["deep"]["w"][layer])
+        h = np.maximum((1.0 - beta) * s + beta * (s @ w), 0.0)
+    want = h @ np.asarray(params["fc_out"]["w"]) + np.asarray(
+        params["fc_out"]["b"]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gcnii_trains_end_to_end_via_registry():
+    from textgcn_tpu.train.trainer import TrainConfig, Trainer
+
+    g, x, y = _separable_problem(seed=22)
+    n = g.n_nodes
+    idx = np.random.RandomState(1).permutation(n)
+    cfg = TrainConfig(
+        n_hidden=16, max_epoch=60, early_stopping=60, dropout=0.0,
+        seed=0, epoch_block=10, model="gcnii", lr=0.05,
+    )
+    t = Trainer(g, x, y, idx[:40], idx[40:], 2, config=cfg)
+    t.fit(verbose=False)
+    assert t.history[-1]["train_loss"] < t.history[0]["train_loss"]
+    assert t.test()["acc"] > 0.6
+
+
+def test_gcnii_identity_features():
+    """x=None: fc_in.w is the [n_nodes, H] node table; the deep scan and
+    both heads must run and produce finite logits."""
+    import jax
+
+    from textgcn_tpu.models.gcnii import gcnii_forward, gcnii_init
+
+    g, _, _ = _separable_problem(seed=23)
+    params = gcnii_init(jax.random.PRNGKey(5), g.n_nodes, 12, 3, k=3)
+    out = np.asarray(gcnii_forward(params, g, None, train=False))
+    assert out.shape == (g.n_nodes, 3)
+    assert np.isfinite(out).all()

@@ -266,7 +266,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "--model",
         default="gcn",
-        choices=["gcn", "gat", "sgc", "sgc_pre", "appnp", "sage", "gin"],
+        choices=["gcn", "gat", "sgc", "sgc_pre", "appnp", "sage", "gin",
+                 "gcnii"],
         help="model family: gcn (fixed normalized adjacency), gat "
         "(per-edge attention via weighted segment softmax; requires "
         "--spmm segment), sgc (linear A^2XW classifier), sgc_pre "

@@ -9,6 +9,7 @@ from textgcn_tpu.models.sgc import (  # noqa: F401
 from textgcn_tpu.models.appnp import appnp_init, appnp_forward  # noqa: F401
 from textgcn_tpu.models.sage import sage_init, sage_forward  # noqa: F401
 from textgcn_tpu.models.gin import gin_init, gin_forward  # noqa: F401
+from textgcn_tpu.models.gcnii import gcnii_init, gcnii_forward  # noqa: F401
 
 # Model-family registry: name -> (init, forward) with the uniform
 # signatures init(key, n_feat, n_hidden, n_class) and
@@ -28,4 +29,7 @@ MODELS = {
     "sage": (sage_init, sage_forward),
     # GIN: (1+eps)·h + Âh through a 2-layer MLP, learnable eps per layer
     "gin": (gin_init, gin_forward),
+    # GCNII: K deep layers with initial residual + identity mapping
+    # (deep receptive field without over-smoothing, scan over [K, H, H])
+    "gcnii": (gcnii_init, gcnii_forward),
 }

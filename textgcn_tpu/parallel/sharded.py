@@ -273,6 +273,66 @@ def sharded_gin_forward(
     return aggregate(p2, h, p2["w"]) + p2["b"]
 
 
+def sharded_gcnii_forward(
+    params,
+    pg,
+    x: Optional[jnp.ndarray],
+    mesh: Mesh,
+    *,
+    dropout: float = 0.5,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    alpha: float = None,
+    lam: float = None,
+) -> jnp.ndarray:
+    """Row-sharded GCNII logits [n_pad, C] (mesh analogue of
+    :func:`textgcn_tpu.models.gcnii.gcnii_forward`).
+
+    The K deep layers scan over stacked replicated [K, H, H] weights; the
+    per-layer work is one sharded SpMM (any layout) plus local matmuls,
+    and the initial-residual anchor h0 stays row-sharded for the whole
+    scan. With identity features fc_in's weight is the row-sharded
+    [n_pad, H] node table.
+    """
+    from textgcn_tpu.models.gcnii import (
+        DEFAULT_ALPHA,
+        DEFAULT_LAMBDA,
+        gcnii_betas,
+    )
+
+    if alpha is None:
+        alpha = DEFAULT_ALPHA
+    if lam is None:
+        lam = DEFAULT_LAMBDA
+    agg = _make_agg(pg, mesh)
+    h0 = (
+        params["fc_in"]["w"]
+        if x is None
+        else jnp.dot(
+            x, params["fc_in"]["w"], preferred_element_type=jnp.float32
+        )
+    )
+    h0 = jax.nn.relu(h0 + params["fc_in"]["b"])
+    k = params["deep"]["w"].shape[0]
+    betas = gcnii_betas(k, lam)
+
+    def layer(h, wb):
+        w, beta = wb
+        s = (1.0 - alpha) * agg(h) + alpha * h0
+        sw = jnp.dot(s, w, preferred_element_type=jnp.float32)
+        return jax.nn.relu((1.0 - beta) * s + beta * sw), None
+
+    h, _ = jax.lax.scan(layer, h0, (params["deep"]["w"], betas))
+    if train and dropout > 0.0:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
+    return (
+        jnp.dot(h, params["fc_out"]["w"], preferred_element_type=jnp.float32)
+        + params["fc_out"]["b"]
+    )
+
+
 def sharded_gcn_forward(
     params,
     pg,

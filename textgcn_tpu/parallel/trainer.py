@@ -34,6 +34,7 @@ from textgcn_tpu.graph.structs import SparseGraph
 from textgcn_tpu.models.appnp import appnp_init
 from textgcn_tpu.models.gat import gat_init
 from textgcn_tpu.models.gcn import gcn_init
+from textgcn_tpu.models.gcnii import gcnii_init
 from textgcn_tpu.models.gin import gin_init
 from textgcn_tpu.models.sage import sage_init
 from textgcn_tpu.models.sgc import sgc_init
@@ -46,6 +47,7 @@ from textgcn_tpu.parallel.sharded import (
     sharded_appnp_forward,
     sharded_gat_forward,
     sharded_gcn_forward,
+    sharded_gcnii_forward,
     sharded_gin_forward,
     sharded_sage_forward,
     sharded_sgc_forward,
@@ -70,6 +72,7 @@ SHARDED_MODELS = {
     "sgc": (sgc_init, sharded_sgc_forward, "lin"),
     "appnp": (appnp_init, sharded_appnp_forward, "fc1"),
     "gin": (gin_init, sharded_gin_forward, "gin1"),
+    "gcnii": (gcnii_init, sharded_gcnii_forward, "fc_in"),
 }
 
 
