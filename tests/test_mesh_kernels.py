@@ -454,3 +454,23 @@ def test_sharded_state_metadata_best_val_is_raw_loss(tmp_path):
     md = restore_checkpoint(ckpt)["metadata"]
     min_vloss = min(h["val_loss"] for h in t.history)
     np.testing.assert_allclose(float(md["best_val"]), min_vloss, rtol=1e-6)
+
+
+def test_sharded_gcnii_identity_features():
+    """GCNII with identity features on the mesh: fc_in's weight is the
+    row-sharded [n_pad, H] node table anchoring the deep scan's initial
+    residual; training runs and the loss decreases."""
+    import dataclasses
+
+    g, _, target, tr, te, C = _data(seed=51)
+    t = ShardedTrainer(
+        g, None, target, tr, te, C,
+        config=dataclasses.replace(CFG, model="gcnii", max_epoch=6,
+                                   epoch_block=3),
+        n_shards=4, partition="halo",
+    )
+    t.fit(verbose=False)
+    assert t.history[-1]["train_loss"] < t.history[0]["train_loss"]
+    w = t.params["fc_in"]["w"]
+    assert w.shape[0] == t.n_pad
+    assert len(w.sharding.device_set) == 4, w.sharding
