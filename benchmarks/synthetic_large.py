@@ -116,9 +116,10 @@ def run_train_stream(args) -> int:
     makes 4 streamed passes (2 fwd + 2 bwd through the symmetric VJP);
     the edge list (6 GB) never exists in HBM in either direction.
 
-    Model dims default to F=32/H=32/C=16 so activations fit 16 GB:
-    x bf16 0.64 GB + five [10M, 32] f32 activation/cotangent buffers
-    ~6.4 GB + residuals; params/Adam state are KB-scale.
+    Use --f 32 --hidden 16 --classes 8 at the 10M-node scale (the
+    bench's shape budget): the step's 128-lane-padded streaming
+    transients peak near 8 GB, and H=32/C=16 with 8M-edge chunks
+    oversubscribes the 16 GB chip (observed worker crash).
 
     Uses the SEGMENTED step (manual backward, bounded dispatches —
     train/streamed.py make_streamed_train_step_segmented): tunneled TPU

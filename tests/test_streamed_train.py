@@ -198,3 +198,42 @@ def test_segmented_step_reduces_loss_bf16():
         params, opt_state, loss = step(params, opt_state, x, y, mask)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_segmented_step_matches_monolithic_bf16():
+    """Parity in the PRODUCTION stream dtype (bf16): the f32 oracle above
+    makes every cast a no-op, so it cannot catch a cast-chain divergence —
+    this run pins the segmented manual backward against autodiff with
+    bf16 streaming and bf16 features (both paths share the identical
+    chunk schedule, so agreement should be near-exact)."""
+    from textgcn_tpu.train.streamed import make_streamed_train_step_segmented
+
+    n, f, h, c = 64, 12, 8, 3
+    edge_fn, _ = _toy_stream(n, seed=11)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(n, f), dtype=jnp.bfloat16)
+    y = jnp.asarray(rng.randint(0, c, n), dtype=jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), dtype=jnp.float32)
+
+    params, opt, opt_state = init_streamed(jax.random.PRNGKey(13), f, h, c)
+    mono = make_streamed_train_step(sym_fn, n, 8)
+    p_m, _, loss_m = mono(params, opt_state, x, y, mask)
+
+    params2, _, opt_state2 = init_streamed(jax.random.PRNGKey(13), f, h, c)
+    segd = make_streamed_train_step_segmented(
+        sym_fn, n, 8, chunks_per_dispatch=3
+    )
+    p_s, _, loss_s = segd(params2, opt_state2, x, y, mask)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-6)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_m),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va, dtype=np.float32),
+            np.asarray(vb, dtype=np.float32),
+            rtol=1e-5, atol=1e-6, err_msg=str(ka),
+        )

@@ -66,9 +66,9 @@ def gcnii_init(
     }
 
 
-def gcnii_forward(
+def gcnii_core(
     params: Params,
-    graph,
+    aggregate,
     x: Optional[jnp.ndarray],
     *,
     dropout: float = 0.5,
@@ -77,7 +77,14 @@ def gcnii_forward(
     alpha: float = DEFAULT_ALPHA,
     lam: float = DEFAULT_LAMBDA,
 ) -> jnp.ndarray:
-    """Logits for all nodes through K initial-residual layers."""
+    """The GCNII recurrence over any aggregation operator.
+
+    ``aggregate(h) -> Â h`` abstracts the single sparse op per layer:
+    the single-device forward passes ``spmm(graph, ·)``; the mesh
+    forward (:func:`textgcn_tpu.parallel.sharded.sharded_gcnii_forward`)
+    passes its shard-local SpMM closure — ONE recurrence definition for
+    both paths.
+    """
     h0 = (
         params["fc_in"]["w"]
         if x is None
@@ -91,7 +98,7 @@ def gcnii_forward(
 
     def layer(h, wb):
         w, beta = wb
-        s = (1.0 - alpha) * spmm(graph, h) + alpha * h0
+        s = (1.0 - alpha) * aggregate(h) + alpha * h0
         sw = jnp.dot(s, w, preferred_element_type=jnp.float32)
         return jax.nn.relu((1.0 - beta) * s + beta * sw), None
 
@@ -103,4 +110,28 @@ def gcnii_forward(
     return (
         jnp.dot(h, params["fc_out"]["w"], preferred_element_type=jnp.float32)
         + params["fc_out"]["b"]
+    )
+
+
+def gcnii_forward(
+    params: Params,
+    graph,
+    x: Optional[jnp.ndarray],
+    *,
+    dropout: float = 0.5,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    alpha: float = DEFAULT_ALPHA,
+    lam: float = DEFAULT_LAMBDA,
+) -> jnp.ndarray:
+    """Logits for all nodes through K initial-residual layers."""
+    return gcnii_core(
+        params,
+        lambda h: spmm(graph, h),
+        x,
+        dropout=dropout,
+        train=train,
+        rng=rng,
+        alpha=alpha,
+        lam=lam,
     )

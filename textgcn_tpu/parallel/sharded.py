@@ -297,39 +297,24 @@ def sharded_gcnii_forward(
     from textgcn_tpu.models.gcnii import (
         DEFAULT_ALPHA,
         DEFAULT_LAMBDA,
-        gcnii_betas,
+        gcnii_core,
     )
 
     if alpha is None:
         alpha = DEFAULT_ALPHA
     if lam is None:
         lam = DEFAULT_LAMBDA
-    agg = _make_agg(pg, mesh)
-    h0 = (
-        params["fc_in"]["w"]
-        if x is None
-        else jnp.dot(
-            x, params["fc_in"]["w"], preferred_element_type=jnp.float32
-        )
-    )
-    h0 = jax.nn.relu(h0 + params["fc_in"]["b"])
-    k = params["deep"]["w"].shape[0]
-    betas = gcnii_betas(k, lam)
-
-    def layer(h, wb):
-        w, beta = wb
-        s = (1.0 - alpha) * agg(h) + alpha * h0
-        sw = jnp.dot(s, w, preferred_element_type=jnp.float32)
-        return jax.nn.relu((1.0 - beta) * s + beta * sw), None
-
-    h, _ = jax.lax.scan(layer, h0, (params["deep"]["w"], betas))
-    if train and dropout > 0.0:
-        keep = 1.0 - dropout
-        mask = jax.random.bernoulli(rng, keep, h.shape)
-        h = jnp.where(mask, h / keep, 0.0)
-    return (
-        jnp.dot(h, params["fc_out"]["w"], preferred_element_type=jnp.float32)
-        + params["fc_out"]["b"]
+    # ONE recurrence definition for both paths: gcnii_core over the
+    # shard-local aggregation closure
+    return gcnii_core(
+        params,
+        _make_agg(pg, mesh),
+        x,
+        dropout=dropout,
+        train=train,
+        rng=rng,
+        alpha=alpha,
+        lam=lam,
     )
 
 

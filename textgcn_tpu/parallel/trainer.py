@@ -330,7 +330,11 @@ class ShardedTrainer:
                 params = optax.apply_updates(params, updates)
                 vloss, vconf = eval_impl(params, pg, x, y, vw)
                 score = -vloss
-                improved = score >= best  # delta=0; ties count as improved
+                # EXACTLY the host branch (trainer.py:74): counter bumps
+                # iff score < best (delta=0) — spelled as NOT(<) rather
+                # than >=, because a NaN score fails BOTH comparisons and
+                # must take the improved branch like the host's else does
+                improved = jnp.logical_not(score < best)
                 counter = jnp.where(improved, 0, counter + 1)
                 best = jnp.where(improved, score, best)
                 fire = jnp.logical_and(

@@ -205,9 +205,16 @@ def make_streamed_train_step_segmented(
     @jax.jit
     def apply_grads(params, opt_state, x, g_s1_acc, dw2, db1, db2):
         g_s1 = g_s1_acc.astype(stream_dtype).astype(jnp.float32)
-        dw1 = jnp.dot(
-            x.T, g_s1, preferred_element_type=jnp.float32
-        ).astype(params["gc1"]["w"].dtype)
+        # the forward computed dot(x, W1.astype(x.dtype)): autodiff's
+        # transpose yields the cotangent of the CAST weight in x's dtype
+        # (bf16 in production) before the cast-op backprops it to f32 —
+        # round through x.dtype here so segmented == monolithic holds in
+        # the production dtype too, not just in the f32 oracle
+        dw1 = (
+            jnp.dot(x.T, g_s1, preferred_element_type=jnp.float32)
+            .astype(x.dtype)
+            .astype(params["gc1"]["w"].dtype)
+        )
         grads = {
             "gc1": {"w": dw1, "b": db1},
             "gc2": {"w": dw2.astype(params["gc2"]["w"].dtype), "b": db2},
