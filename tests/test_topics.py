@@ -152,3 +152,53 @@ def test_jax_lda_streaming_matches_pinned():
     streamed = LDA(n_components=3, max_iter=8, random_state=0,
                    chunk_size=16, pin_bytes_limit=0).fit(dtm)
     np.testing.assert_array_equal(pinned.components_, streamed.components_)
+
+
+def test_lda_bound_trace_and_convergence():
+    """fit() tracks a per-word ELBO word-term trace and exits on plateau
+    (round-3 verdict weak #6: no convergence criterion). Batch VB EM never
+    decreases the bound, so the trace must be (near-)monotone; with a
+    generous max_iter the toy corpus must converge before the cap."""
+    docs, _ = _toy_corpus(n_per=30, seed=5)
+    dtm = CountVectorizer(min_df=1, max_df=1.0).fit_transform(docs)
+    lda = LDA(n_components=3, max_iter=200, random_state=0).fit(dtm)
+    assert lda.n_iter_ < 200  # converged, not capped
+    assert len(lda.bound_trace_) == lda.n_iter_
+    trace = np.asarray(lda.bound_trace_)
+    assert np.all(np.diff(trace) > -1e-3), trace  # monotone up to f32 noise
+    # plateau criterion actually held at the exit
+    assert trace[-1] - trace[-2] < lda.bound_tol
+
+    # bound_tol=0 disables the early exit and runs the full budget
+    lda_full = LDA(
+        n_components=3, max_iter=8, random_state=0, bound_tol=0.0
+    ).fit(dtm)
+    assert lda_full.n_iter_ == 8
+
+
+def test_word2vec_vectorized_examples_semantics():
+    """The vectorized example generator matches the definition: contexts
+    are same-sentence kept neighbors within the drawn window reduction,
+    padded with a 0/1 mask; centers without context are dropped."""
+    from textgcn_tpu.topics.word2vec import Word2Vec
+
+    docs = ["a b c d e", "f g", "h"]
+    w2v = Word2Vec(vector_size=8, window=2, min_count=1, sample=0, seed=3)
+    sentences = [d.split() for d in docs]
+    w2v._build_vocab(sentences)
+    w2v._encode(sentences)
+    rng = np.random.RandomState(0)
+    centers, ctxs, masks = w2v._examples(rng)
+    assert ctxs.shape[1] == 4 and masks.shape == ctxs.shape
+    id_of = w2v.vocab
+    sent_of = {w: i for i, s in enumerate(sentences) for w in s}
+    inv = {v: k for k, v in id_of.items()}
+    for c, ctx, m in zip(centers, ctxs, masks):
+        words = [inv[int(w)] for w, keep in zip(ctx, m) if keep > 0]
+        assert words, "centers with empty context must be dropped"
+        for w in words:
+            # same sentence, not the center itself
+            assert sent_of[w] == sent_of[inv[int(c)]]
+            assert w != inv[int(c)]
+    # "h" is a 1-token sentence: can never be a center with context
+    assert id_of["h"] not in set(centers.tolist())

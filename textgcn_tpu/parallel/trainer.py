@@ -131,11 +131,11 @@ class ShardedTrainer:
     partition only; the trainer applies the degree-sort permutation to
     features/labels/splits itself — the single-chip fast path carried
     onto the mesh).
-    ``config.model``: any :data:`SHARDED_MODELS` family — gcn, sage, sgc,
-    appnp, gin run over every partition/kernel combination (their only
-    collective op is the shared sharded SpMM); gat needs
-    partition="allgather" + kernel="segment" (its attention softmax runs
-    over the shard-local COO edge stream).
+    ``config.model``: any :data:`SHARDED_MODELS` family — every family
+    except gat (i.e. gcn, sage, sgc, appnp, gin, gcnii) runs over every
+    partition/kernel combination (their only collective op is the shared
+    sharded SpMM); gat runs on partition="allgather" + kernel="segment"
+    (per-row attention softmax over the shard-local COO edge stream).
     """
 
     def __init__(
@@ -523,6 +523,7 @@ class ShardedTrainer:
                 params, opt_state, rngs, self.pg, self.x, self.y,
                 train_mask, val_mask, es_best, stopper.counter,
             )
+            live_params = params
             tloss, vloss, vconf = (
                 np.asarray(a) for a in outs
             )
@@ -551,7 +552,12 @@ class ShardedTrainer:
                     break
         self.train_time = time.time() - start
         self.params = params
-        # live training state for save_training_state (mid-training resume)
+        # live training state for save_training_state (mid-training resume).
+        # After an in-scan early stop self.params is the latched stop-epoch
+        # snapshot, which must NOT be checkpointed next to the end-of-block
+        # Adam moments — the resumable state is always the end-of-run params
+        # (same fix as the single-device Trainer's _live_params).
+        self._live_params = live_params if epoch > start_epoch else params
         self._opt_state = opt_state
         self._stopper = stopper
         self._epochs_done = epoch
@@ -662,7 +668,7 @@ class ShardedTrainer:
         return save_checkpoint(
             path,
             self._tables_to_canonical(
-                jax.tree_util.tree_map(np.asarray, self.params)
+                jax.tree_util.tree_map(np.asarray, self._live_params)
             ),
             opt_state=self._tables_to_canonical(
                 jax.tree_util.tree_map(np.asarray, self._opt_state)
