@@ -133,6 +133,7 @@ def make_streamed_train_step_segmented(
     lr: float = 0.02,
     stream_dtype=jnp.bfloat16,
     chunks_per_dispatch: int = 32,
+    stream_fn=None,
 ):
     """The streamed train step split into BOUNDED device dispatches.
 
@@ -151,6 +152,15 @@ def make_streamed_train_step_segmented(
     placement exactly (stream in ``stream_dtype``, f32 accumulation,
     cotangents re-cast at the same points); oracle-pinned against the
     monolithic step in tests/test_streamed_train.py.
+
+    ``stream_fn``: optional replacement for the built-in host-segmented
+    single-chip stream — a callable ``v [N, F>=128] -> Â v [N, F] f32``.
+    The sharded streamed step
+    (:func:`textgcn_tpu.parallel.streamed
+    .make_streamed_sharded_train_step_segmented`) passes the mesh ring
+    here, reusing this factory's dense pieces and backward structure
+    verbatim (GSPMD shards the jitted dense ops over row-sharded
+    inputs). When set, ``edge_fn``/``n_chunks`` are unused.
     """
     from textgcn_tpu.ops.spmm import spmm_streamed_multi
 
@@ -223,6 +233,13 @@ def make_streamed_train_step_segmented(
         params = optax.apply_updates(params, updates)
         return params, opt_state
 
+    if stream_fn is None:
+
+        def stream_fn(v):
+            return spmm_streamed_multi(
+                edge_fn, v, n_nodes, n_chunks, chunks_per_dispatch
+            )
+
     def stream(v):
         # pad narrow operands to 128 lanes before streaming: the TPU's
         # random-row scatter/gather is GRANULE-bound (512 B), so a 16-wide
@@ -236,13 +253,9 @@ def make_streamed_train_step_segmented(
         # time, so this fits next to the narrow resident activations.
         w = v.shape[1]
         if w >= 128:
-            return spmm_streamed_multi(
-                edge_fn, v, n_nodes, n_chunks, chunks_per_dispatch
-            )
+            return stream_fn(v)
         vp = jnp.pad(v, ((0, 0), (0, 128 - w)))
-        out = spmm_streamed_multi(
-            edge_fn, vp, n_nodes, n_chunks, chunks_per_dispatch
-        )
+        out = stream_fn(vp)
         return out[:, :w]
 
     def step(params, opt_state, x, y, mask):
