@@ -237,3 +237,174 @@ def test_segmented_step_matches_monolithic_bf16():
             np.asarray(vb, dtype=np.float32),
             rtol=1e-5, atol=1e-6, err_msg=str(ka),
         )
+
+
+def _sgc_dense_loss(p, a, x, y, mask, k=2):
+    h = x @ p["lin"]["w"]
+    for _ in range(k):
+        h = a @ h
+    logits = h + p["lin"]["b"]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+    return jnp.sum(nll * mask) / jnp.sum(mask)
+
+
+def test_streamed_sgc_matches_dense():
+    """Streamed SGC (second family at beyond-HBM scale): forward and one
+    full train step == the dense Â^k operator, f32 streaming."""
+    from textgcn_tpu.models.sgc import sgc_init
+    from textgcn_tpu.train.streamed import (
+        make_streamed_sgc_train_step,
+        streamed_sgc_forward,
+    )
+
+    n, f, c = 64, 12, 3
+    edge_fn, a_sym = _toy_stream(n, seed=20)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(n, f), dtype=jnp.float32)
+    y = jnp.asarray(rng.randint(0, c, n), dtype=jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), dtype=jnp.float32)
+    params = sgc_init(jax.random.PRNGKey(22), f, 0, c)
+    a = jnp.asarray(a_sym)
+
+    got = streamed_sgc_forward(
+        params, sym_fn, x, n, 8, stream_dtype=jnp.float32
+    )
+    h = x @ params["lin"]["w"]
+    want = a @ (a @ h) + params["lin"]["b"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+    opt = optax.adam(0.02)
+    opt_state = opt.init(params)
+    step = make_streamed_sgc_train_step(
+        sym_fn, n, 8, stream_dtype=jnp.float32
+    )
+    p_s, _, loss_s = step(params, opt_state, x, y, mask)
+
+    params_d = sgc_init(jax.random.PRNGKey(22), f, 0, c)
+    loss_d, grads = jax.value_and_grad(_sgc_dense_loss)(
+        params_d, a, x, y, mask
+    )
+    updates, _ = optax.adam(0.02).update(
+        grads, optax.adam(0.02).init(params_d), params_d
+    )
+    p_d = optax.apply_updates(params_d, updates)
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_d),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )
+
+
+def test_streamed_sgc_segmented_matches_monolithic_bf16():
+    """SGC segmented manual backward == autodiff in the production bf16
+    stream dtype (identical chunk schedule + cast chain)."""
+    from textgcn_tpu.models.sgc import sgc_init
+    from textgcn_tpu.train.streamed import (
+        make_streamed_sgc_train_step,
+        make_streamed_sgc_train_step_segmented,
+    )
+
+    n, f, c = 64, 12, 3
+    edge_fn, _ = _toy_stream(n, seed=23)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(24)
+    x = jnp.asarray(rng.randn(n, f), dtype=jnp.bfloat16)
+    y = jnp.asarray(rng.randint(0, c, n), dtype=jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), dtype=jnp.float32)
+
+    params = sgc_init(jax.random.PRNGKey(25), f, 0, c)
+    opt = optax.adam(0.02)
+    mono = make_streamed_sgc_train_step(sym_fn, n, 8)
+    p_m, _, loss_m = mono(params, opt.init(params), x, y, mask)
+
+    params2 = sgc_init(jax.random.PRNGKey(25), f, 0, c)
+    segd = make_streamed_sgc_train_step_segmented(
+        sym_fn, n, 8, chunks_per_dispatch=3
+    )
+    p_s, _, loss_s = segd(params2, opt.init(params2), x, y, mask)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-6)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_m),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va, dtype=np.float32),
+            np.asarray(vb, dtype=np.float32),
+            rtol=1e-5, atol=1e-6, err_msg=str(ka),
+        )
+
+
+def test_streamed_sgc_sharded_matches_single_chip():
+    """The sharded streamed SGC step on the virtual 8-mesh == the
+    single-chip segmented SGC step over the equivalent global stream."""
+    from textgcn_tpu.models.sgc import sgc_init
+    from textgcn_tpu.parallel.sharded import make_mesh
+    from textgcn_tpu.parallel.streamed import (
+        make_random_bucket_edge_fn,
+        make_streamed_sharded_sgc_train_step_segmented,
+        shard_streamed_inputs,
+        symmetrize_bucket_edge_fn,
+    )
+    from textgcn_tpu.train.streamed import make_streamed_sgc_train_step
+
+    p_sh, rps, f, c = 4, 16, 12, 3
+    n_pad = p_sh * rps
+    mesh = make_mesh(p_sh)
+    edge_fn = make_random_bucket_edge_fn(rps, chunk_e=24, seed=26)
+    sym_fn = symmetrize_bucket_edge_fn(edge_fn, 2)
+    dims = (rps, p_sh, 4)
+
+    # assemble the dense operator to drive a single-chip reference stream
+    a = np.zeros((n_pad, n_pad), dtype=np.float64)
+    for p in range(p_sh):
+        for q in range(p_sh):
+            for j in range(4):
+                r, cc, v = (np.asarray(t) for t in sym_fn(p, q, j))
+                np.add.at(
+                    a, (p * rps + r, q * rps + cc), v.astype(np.float64)
+                )
+    a = jnp.asarray(a.astype(np.float32))
+
+    rng = np.random.RandomState(27)
+    x = rng.randn(n_pad, f).astype(np.float32)
+    y = rng.randint(0, c, n_pad).astype(np.int32)
+    mask = (rng.rand(n_pad) < 0.6).astype(np.float32)
+    xs, ys, ms = shard_streamed_inputs(mesh, x, y, mask)
+
+    params = sgc_init(jax.random.PRNGKey(28), f, 0, c)
+    opt = optax.adam(0.02)
+    step = make_streamed_sharded_sgc_train_step_segmented(
+        sym_fn, mesh, dims, stream_dtype=jnp.float32,
+        chunks_per_dispatch=3,
+    )
+    p_s, _, loss_s = step(params, opt.init(params), xs, ys, ms)
+
+    params_d = sgc_init(jax.random.PRNGKey(28), f, 0, c)
+    loss_d, grads = jax.value_and_grad(_sgc_dense_loss)(
+        params_d, a, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
+    )
+    updates, _ = optax.adam(0.02).update(
+        grads, optax.adam(0.02).init(params_d), params_d
+    )
+    p_d = optax.apply_updates(params_d, updates)
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_d),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )
