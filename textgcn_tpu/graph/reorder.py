@@ -136,12 +136,25 @@ class HybridGraph:
         max_block_bytes: int = 2 << 30,
         onehot_kwargs: dict | None = None,
         group: int | None = None,
+        store_bf16: bool = True,
     ) -> "HybridGraph":
         """Build the hybrid layout.
 
         ``group``: tiles-per-grid-step for the BSR leg. ``None`` (default)
         picks the largest of {8,4,2,1} whose zero-padding overhead is <25%;
         ``1`` forces the flat one-tile-per-step kernel.
+
+        ``store_bf16``: store the BSR tile stack in bfloat16 at BUILD time
+        (matching ``spmm_hybrid``'s default bf16 execution). Round 3 paid
+        an f32→bf16 cast of the whole block stack INSIDE every pass —
+        ~3×|blocks| bytes of pure HBM traffic per aggregation; the hot
+        path now reads the tiles at their stored width. Pass ``False``
+        only to run the f32-exact kernel (``spmm_hybrid(..., bf16=False)``).
+
+        The BSR leg's padded height is rounded up to the residual plan's
+        window size (``w``), so the one-hot leg can accumulate directly
+        onto the BSR output block-for-block (no pad/slice copies between
+        the legs — see ``_spmm_hybrid_fwd_impl``).
         """
         from textgcn_tpu.ops.pallas_onehot import OneHotGraph
         from textgcn_tpu.ops.pallas_spmm import choose_group, pack_groups
@@ -158,11 +171,17 @@ class HybridGraph:
             min_nnz=min_nnz,
             max_block_bytes=max_block_bytes,
         )
+        w_oh = (onehot_kwargs or {}).get("w", 512)
+        n_bsr = n_nodes
+        if w_oh % bm == 0:
+            # align the BSR leg's padded rows to the one-hot window grid
+            # (empty trailing block-rows get the coverage zero tiles)
+            n_bsr = -(-n_nodes // w_oh) * w_oh
         bsr = BlockSparseGraph.from_coo(
             row[dense_mask],
             col[dense_mask],
             val[dense_mask],
-            n_nodes,
+            n_bsr,
             bm=bm,
             bn=bn,
             max_block_bytes=max_block_bytes + (64 << 20),
@@ -170,6 +189,10 @@ class HybridGraph:
         grp = choose_group(bsr) if group is None else int(group)
         if grp > 1:
             bsr = pack_groups(bsr, grp)
+        if store_bf16:
+            bsr = dataclasses.replace(
+                bsr, blocks=bsr.blocks.astype(jnp.bfloat16)
+            )
         n_rest = int((~dense_mask).sum())
         rest = None
         if n_rest:
@@ -221,22 +244,49 @@ def reorder_and_build(
 def _spmm_hybrid_fwd_impl(
     h: HybridGraph, x: jnp.ndarray, interpret: bool = False, bf16: bool = True
 ):
-    from textgcn_tpu.ops.pallas_onehot import spmm_onehot
+    """One fused hybrid pass, engineered for minimal HBM traffic:
+
+    - ONE padded feature table, built once and shared by both legs (the
+      legs' own pad+downcast used to run twice per pass);
+    - tile stack read at stored width (bf16 at build — no per-pass cast);
+    - when the layouts align (single-superchunk residual plan whose
+      window grid matches the BSR leg's padded rows — arranged by
+      ``from_coo``), the one-hot leg initializes its output windows FROM
+      the BSR result, fusing the ``bsr + rest`` add into the kernel and
+      keeping everything padded until one final slice.
+    """
+    from textgcn_tpu.ops.pallas_onehot import _spmm_onehot_impl, spmm_onehot
     from textgcn_tpu.ops.pallas_spmm import (
         GroupedBSR,
-        spmm_bsr,
-        spmm_bsr_grouped,
+        _spmm_bsr_grouped_padded,
+        _spmm_bsr_padded,
     )
 
-    if isinstance(h.bsr, GroupedBSR):
-        out = spmm_bsr_grouped(h.bsr, x, interpret=interpret, bf16=bf16)
+    n, f = h.n_nodes, x.shape[1]
+    f_pad = ((f + 127) // 128) * 128
+    bsr = h.bsr
+    n_pad = bsr.n_block_rows * bsr.bm
+    xp = jnp.zeros((n_pad, f_pad), dtype=x.dtype).at[:n, :f].set(x)
+    if bf16:
+        xp = xp.astype(jnp.bfloat16)
+    if isinstance(bsr, GroupedBSR):
+        out = _spmm_bsr_grouped_padded(bsr, xp, interpret, bf16)
     else:
-        out = spmm_bsr(h.bsr, x, interpret=interpret, bf16=bf16)
-    if h.rest is not None:
-        out = out + spmm_onehot(
-            h.rest.fwd, h.rest.bwd, x, interpret=interpret
-        )
-    return out
+        out = _spmm_bsr_padded(bsr, xp, interpret, bf16)
+    if h.rest is None:
+        return out[:n, :f]
+    plan = h.rest.fwd
+    # the one-hot leg always gathers bf16 (byte-bound; pallas_onehot
+    # design) — share xp when it already is, downcast once otherwise
+    xq = xp if xp.dtype == jnp.bfloat16 else xp.astype(jnp.bfloat16)
+    if plan.n_sc == 1 and plan.w_sc * plan.w == n_pad:
+        return _spmm_onehot_impl(
+            plan, x, interpret, xp_padded=xq, base=out, keep_padded=True
+        )[:n, :f]
+    # layout mismatch (custom onehot_kwargs): separate legs + add
+    return out[:n, :f] + spmm_onehot(
+        h.rest.fwd, h.rest.bwd, x, interpret=interpret
+    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))

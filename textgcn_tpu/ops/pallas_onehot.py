@@ -194,52 +194,124 @@ def _onehot_kernel(wloc_ref, lrow_ref, p_ref, o_ref, *, w: int):
     )
 
 
-def _reduce_superchunk(plan: OneHotPlan, p, lrow, wloc, interpret: bool):
-    """One Pallas call: [c_sc*k, F] products -> [w_sc*w, F] output rows."""
+def _onehot_kernel_base(wloc_ref, lrow_ref, base_ref, p_ref, o_ref, *, w: int):
+    """One-hot reduce that ACCUMULATES ONTO a base: each window initializes
+    from ``base_ref`` (same index map as the output) instead of zeros.
+    Fuses the hybrid layout's ``bsr_out + onehot_out`` add into the
+    residual kernel — the [n_pad, F] f32 add's read+read+write never
+    touches HBM as a separate op."""
+    i = pl.program_id(0)
+    is_new = jnp.logical_or(
+        i == 0, wloc_ref[jnp.maximum(i - 1, 0)] != wloc_ref[i]
+    )
+
+    @pl.when(is_new)
+    def _():
+        o_ref[...] = base_ref[...]
+
+    k = lrow_ref.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, k), 0)
+    s = (rows == lrow_ref[0]).astype(p_ref.dtype)
+    o_ref[...] += jax.lax.dot(
+        s, p_ref[...], preferred_element_type=jnp.float32
+    )
+
+
+def _reduce_superchunk(
+    plan: OneHotPlan, p, lrow, wloc, interpret: bool, base=None
+):
+    """One Pallas call: [c_sc*k, F] products -> [w_sc*w, F] output rows.
+
+    With ``base`` ([w_sc*w, F] f32), windows initialize from it instead
+    of zeros (fused accumulate — see :func:`_onehot_kernel_base`).
+    """
     k, w, w_sc, c_sc = plan.k, plan.w, plan.w_sc, plan.c_sc
     f_pad = p.shape[-1]
     # Mosaic block shapes: last two dims must be (8k, 128k)-aligned or match
     # the array — a unit middle dim satisfies that for the per-chunk row ids
     lrow = lrow.reshape(c_sc, 1, k)
+    in_specs = [
+        pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
+        pl.BlockSpec((k, f_pad), lambda i, wloc: (i, 0)),
+    ]
+    args = (wloc, lrow, p)
+    kernel = partial(_onehot_kernel, w=w)
+    base_bytes = 0
+    if base is not None:
+        in_specs = [
+            in_specs[0],
+            pl.BlockSpec((w, f_pad), lambda i, wloc: (wloc[i], 0)),
+            in_specs[1],
+        ]
+        args = (wloc, lrow, base, p)
+        kernel = partial(_onehot_kernel_base, w=w)
+        base_bytes = w_sc * w * f_pad * 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(c_sc,),
-        in_specs=[
-            pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
-            pl.BlockSpec((k, f_pad), lambda i, wloc: (i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((w, f_pad), lambda i, wloc: (wloc[i], 0)),
     )
     return pl.pallas_call(
-        partial(_onehot_kernel, w=w),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((w_sc * w, f_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * c_sc * w * k * f_pad,
             bytes_accessed=c_sc * k * f_pad * p.dtype.itemsize
-            + w_sc * w * f_pad * 4,
+            + w_sc * w * f_pad * 4 + base_bytes,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(wloc, lrow, p)
+    )(*args)
 
 
-def _spmm_onehot_impl(plan: OneHotPlan, x, interpret: bool = False):
+def _spmm_onehot_impl(
+    plan: OneHotPlan,
+    x,
+    interpret: bool = False,
+    *,
+    xp_padded=None,
+    base=None,
+    keep_padded: bool = False,
+):
+    """A @ x through the gather + one-hot-MXU pipeline.
+
+    Keyword extensions for the hybrid fast path (graph/reorder.py):
+      xp_padded: pre-padded/cast [>=n, f_pad] feature table shared with
+        the BSR leg (skips this impl's own pad+downcast; extra rows
+        beyond the plan's cols are never gathered).
+      base: [w_sc*w, f_pad] f32 — windows initialize from it instead of
+        zeros, fusing the two legs' add (requires n_sc == 1).
+      keep_padded: return the padded [w_sc*w, f_pad] f32 output without
+        the [:n, :f] slice (requires n_sc == 1).
+    """
     n, f = plan.n_nodes, x.shape[-1]
     f_pad = _round_up(f, 128)
-    xp = x if f == f_pad else jnp.pad(x, ((0, 0), (0, f_pad - f)))
-    # gather from a bf16 copy: the random-row gather is byte-bound, so one
-    # cheap streaming downcast of X halves the dominant traffic; the edge
-    # product is bf16 anyway (f32 accumulation happens in the MXU reduce)
-    xp = xp.astype(jnp.bfloat16)
+    if xp_padded is not None:
+        xp = xp_padded
+        f_pad = xp.shape[-1]
+    else:
+        xp = x if f == f_pad else jnp.pad(x, ((0, 0), (0, f_pad - f)))
+        # gather from a bf16 copy: the random-row gather is byte-bound, so
+        # one cheap streaming downcast of X halves the dominant traffic;
+        # the edge product is bf16 anyway (f32 accumulation in the MXU
+        # reduce)
+        xp = xp.astype(jnp.bfloat16)
     val16 = plan.val.astype(jnp.bfloat16)
+    if (base is not None or keep_padded) and plan.n_sc != 1:
+        raise ValueError("base/keep_padded need a single-superchunk plan")
 
-    def one(col_s, val_s, lrow_s, wloc_s):
-        p = xp[col_s] * val_s[:, None]
-        return _reduce_superchunk(plan, p, lrow_s, wloc_s, interpret)
+    def one(col_s, val_s, lrow_s, wloc_s, base_s=None):
+        p = xp[col_s] * val_s[:, None].astype(xp.dtype)
+        return _reduce_superchunk(
+            plan, p, lrow_s, wloc_s, interpret, base=base_s
+        )
 
     if plan.n_sc == 1:
-        y = one(plan.col[0], val16[0], plan.lrow[0], plan.wloc[0])
+        y = one(plan.col[0], val16[0], plan.lrow[0], plan.wloc[0], base)
+        if keep_padded:
+            return y
     else:
         _, ys = jax.lax.scan(
             lambda c, args: (c, one(*args)),

@@ -164,7 +164,7 @@ def spmm_bsr_grouped(
 ):
     """Â @ x via the grouped BSR kernel."""
     n = gg.n_nodes
-    bm, bn, group = gg.bm, gg.bn, gg.group
+    bm = gg.bm
     n_pad = gg.n_block_rows * bm
     f = x.shape[1]
     f_pad = _round_up(f, 128)
@@ -172,6 +172,28 @@ def spmm_bsr_grouped(
     xp = xp.at[:n, :f].set(x)
     if bf16:
         xp = xp.astype(jnp.bfloat16)
+    out = _spmm_bsr_grouped_padded(gg, xp, interpret, bf16)
+    return out[:n, :f]
+
+
+def _spmm_bsr_grouped_padded(
+    gg: GroupedBSR, xp: jnp.ndarray, interpret: bool, bf16: bool
+):
+    """Grouped kernel on a PRE-padded [n_pad, f_pad] feature table,
+    returning the PADDED [n_pad, f_pad] f32 output (no slice) — the entry
+    the hybrid path uses so one padded bf16 table and one final slice are
+    shared across both legs.
+
+    The blocks cast is CONDITIONAL: HybridGraph stores its tile leg in
+    bf16 at build time, so the hot path pays no per-pass f32→bf16 cast of
+    the (tens-of-MB) block stack — round 3 measured the hybrid at 61% of
+    bound with the cast inside the pass; storing bf16 removes
+    ~3×|blocks| bytes of per-pass traffic.
+    """
+    bm, bn, group = gg.bm, gg.bn, gg.group
+    n_pad = gg.n_block_rows * bm
+    f_pad = xp.shape[1]
+    if bf16 and gg.blocks.dtype != jnp.bfloat16:
         gg = dataclasses.replace(gg, blocks=gg.blocks.astype(jnp.bfloat16))
 
     n_groups = gg.blocks.shape[0]
@@ -206,7 +228,7 @@ def spmm_bsr_grouped(
         ),
         interpret=interpret,
     )(gg.group_rows, gg.group_cols, gg.blocks, *([xp] * group))
-    return out[:n, :f]
+    return out
 
 
 def _bsr_kernel(rows_ref, cols_ref, a_ref, x_ref, o_ref):
@@ -244,7 +266,7 @@ def spmm_bsr(
       [n_nodes, F] float32.
     """
     n = graph.n_nodes
-    bm, bn = graph.bm, graph.bn
+    bm = graph.bm
     n_pad = graph.n_block_rows * bm
     f = x.shape[1]
     f_pad = _round_up(f, 128)
@@ -252,6 +274,19 @@ def spmm_bsr(
     xp = xp.at[:n, :f].set(x)
     if bf16:
         xp = xp.astype(jnp.bfloat16)
+    out = _spmm_bsr_padded(graph, xp, interpret, bf16)
+    return out[:n, :f]
+
+
+def _spmm_bsr_padded(
+    graph: BlockSparseGraph, xp: jnp.ndarray, interpret: bool, bf16: bool
+):
+    """Flat BSR kernel on a pre-padded table → padded [n_pad, f_pad] f32
+    (see :func:`_spmm_bsr_grouped_padded` for why)."""
+    bm, bn = graph.bm, graph.bn
+    n_pad = graph.n_block_rows * bm
+    f_pad = xp.shape[1]
+    if bf16 and graph.blocks.dtype != jnp.bfloat16:
         graph = dataclasses.replace(
             graph, blocks=graph.blocks.astype(jnp.bfloat16)
         )
@@ -282,4 +317,4 @@ def spmm_bsr(
         ),
         interpret=interpret,
     )(graph.block_rows, graph.block_cols, graph.blocks, xp)
-    return out[:n, :f]
+    return out
