@@ -98,10 +98,10 @@ class TopicGraphBuilder:
         # and measurably improve the topic graph — R8 3-seed mean test acc
         # 94.6% at 60 iters vs 93.4% at 20 (sweep 2026-08-17), vs the
         # reference's published 94.11% single run. Backed by the ELBO trace
-        # (results/R8_lda_elbo_trace.json): the per-word bound is still
-        # climbing past iteration 20 and plateaus near 60, where LDA's
-        # bound_tol convergence criterion now exits on its own — 60 is a
-        # cap, not a fixed count.
+        # (results/R8_lda_elbo_trace.json): the per-word bound still climbs
+        # ~1e-3 nats/iteration past iteration 20 and plateaus around
+        # iteration 40, where LDA's bound_tol criterion exits on its own —
+        # 60 is a cap, not a fixed count (R8/K=50 converges at 41).
         self.dataset = dataset
         self.num_topics = num_topics
         self.doc_topic_threshold = doc_topic_threshold
