@@ -32,6 +32,19 @@ def main() -> int:
     except Exception as e:
         log(f"[perf_run] streamed scale failed: {e!r}")
     try:
+        perf["streamed_mesh_scale"] = bench.streamed_mesh_scale_perf()
+        if "streamed_scale" in perf:
+            perf["streamed_mesh_scale"]["vs_single_chip_streamed"] = (
+                perf["streamed_mesh_scale"]["edges_per_s_per_shard"]
+                / perf["streamed_scale"]["edges_per_s"]
+            )
+    except Exception as e:
+        log(f"[perf_run] streamed mesh scale failed: {e!r}")
+    try:
+        perf["streamed_sgc_train"] = bench.streamed_sgc_train_perf()
+    except Exception as e:
+        log(f"[perf_run] streamed SGC train failed: {e!r}")
+    try:
         perf["streamed_train"] = bench.streamed_train_perf()
     except Exception as e:
         log(f"[perf_run] streamed train failed: {e!r}")

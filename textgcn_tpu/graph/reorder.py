@@ -66,7 +66,7 @@ def tile_fill_threshold_split(
     n_nodes: int,
     bm: int = 128,
     bn: int = 128,
-    min_nnz: int = 64,
+    min_nnz: int = 24,
     max_block_bytes: int = 2 << 30,
     block_itemsize: int = 4,
 ):
@@ -77,9 +77,13 @@ def tile_fill_threshold_split(
     dense storage fits ``max_block_bytes``. Thresholding on occupancy alone
     keeps the split symmetric for symmetric patterns.
 
-    ``min_nnz=64`` ≈ the measured break-even: the one-hot kernel spends
-    ~15-20 ns/edge (gather-bound), a BSR tile costs ~1 us of DMA+grid
-    overhead — a tile pays for itself at a few dozen edges.
+    ``min_nnz=24`` is the measured optimum (R8 docword sweep,
+    results/minnnz_probe.json): a grouped bf16 tile costs ~0.26 us of
+    HBM stream + amortized grid step, while a residual edge costs
+    ~11 ns through the gather+one-hot path (granule-bound gather plus
+    the [E, F] product round-trip), so a tile pays for itself at ~24
+    edges — 64 left 2x too many edges on the slow leg (3.03 ms vs
+    2.55 ms per hybrid pass at F=200), while 16 over-tiles (3.14 ms).
     """
     row = np.asarray(row, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
@@ -132,7 +136,7 @@ class HybridGraph:
         symmetric: bool = False,
         bm: int = 128,
         bn: int = 128,
-        min_nnz: int = 64,
+        min_nnz: int = 24,
         max_block_bytes: int = 2 << 30,
         onehot_kwargs: dict | None = None,
         group: int | None = None,

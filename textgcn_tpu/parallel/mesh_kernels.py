@@ -557,7 +557,7 @@ class MeshHybridAllGather:
         n_shards: int,
         bm: int = 128,
         bn: int = 128,
-        min_nnz: int = 64,
+        min_nnz: int = 24,
         k: int = 512,
         w: int = 256,
         symmetric: bool = True,
