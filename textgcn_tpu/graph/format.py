@@ -20,7 +20,12 @@ onehot      gather + one-hot-MXU segment reduce — uniform sparsity.
 hybrid      degree-sort permutation, then dense tiles → bsr and the
             residual → onehot. The large-real-graph default: power-law
             corpora concentrate most edges into the hub bands.
-auto        dense if N ≤ ``dense_max_nodes`` else hybrid.
+auto        cost-model pick (:func:`choose_format`): per-format pass-time
+            estimates from measured machine constants (HBM stream BW,
+            random-gather rate, grid-step overhead — results/
+            minnnz_probe.json) and the graph's OWN degree-sorted tile
+            occupancy, so clustered graphs route to hybrid, uniform
+            ones to onehot, and small ones to dense.
 ==========  ==============================================================
 
 ``hybrid`` relabels nodes (P Â Pᵀ), so :func:`convert_graph` returns the
@@ -30,7 +35,8 @@ labels, and split indices (``perm[old] = new``). All other formats return
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import dataclasses
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -45,6 +51,91 @@ SPMM_FORMATS = ("auto", "segment", "dense", "bsr", "onehot", "hybrid")
 # Below this, the [N, N] dense materialization is ≤ ~0.4 GB and one MXU
 # matmul beats any sparse path on TPU. R8/mr/20ng graphs all sit under it.
 DENSE_MAX_NODES = 10_000
+
+
+@dataclasses.dataclass(frozen=True)
+class MachineModel:
+    """Measured per-chip constants the auto cost model prices against.
+
+    Defaults are this repo's driver-captured v5e numbers
+    (results/minnnz_probe.json roofline + kernel_pass efficiencies);
+    remeasure with ``bench.roofline_probe`` on other parts.
+    """
+
+    hbm_gbps: float = 400.0  # streaming bandwidth
+    gather_rows_per_s: float = 175e6  # 512 B-granule random row reads
+    grid_step_s: float = 1.0e-6  # Pallas per-grid-step overhead
+    mxu_f32_flops: float = 45e12  # dense f32 matmul rate
+    # measured end-to-end efficiency of each kernel vs its naive bound
+    eff_segment: float = 0.24
+    eff_onehot: float = 0.52
+    eff_hybrid_bsr: float = 0.85
+    dense_bytes_budget: int = 2 << 30  # cap on the [N, N] f32 table
+
+
+def estimate_format_costs(
+    g: SparseGraph,
+    f: int = 200,
+    mm: MachineModel = MachineModel(),
+    min_nnz: int = 24,
+) -> Dict[str, float]:
+    """Estimated seconds per ``Â @ x`` pass for each eligible format.
+
+    dense/segment/onehot are closed-form; hybrid prices the graph's OWN
+    structure — the degree-sorted 128×128 tile occupancy (one host sort +
+    bincount, no tile materialization), split at the build threshold
+    ``min_nnz``: clustered edges at HBM-stream cost + grid steps, the
+    residual at the gather wall with the one-hot leg's measured
+    efficiency. ``dense`` is omitted when the [N, N] table busts
+    ``mm.dense_bytes_budget``.
+    """
+    from textgcn_tpu.graph.reorder import degree_sort_permutation
+
+    n, e = g.n_nodes, g.n_edges
+    f_pad = -(-f // 128) * 128
+    bw = mm.hbm_gbps * 1e9
+    costs: Dict[str, float] = {}
+    dense_bytes = 4 * n * n
+    if dense_bytes <= mm.dense_bytes_budget:
+        costs["dense"] = max(
+            (dense_bytes + 2 * 4 * n * f_pad) / bw,
+            2.0 * n * n * f_pad / mm.mxu_f32_flops,
+        )
+    costs["segment"] = e / (mm.gather_rows_per_s * mm.eff_segment)
+    costs["onehot"] = e / (mm.gather_rows_per_s * mm.eff_onehot)
+
+    # hybrid: tile occupancy of the degree-sorted pattern
+    row = np.asarray(g.row)[:e].astype(np.int64)
+    col = np.asarray(g.col)[:e].astype(np.int64)
+    perm = degree_sort_permutation(row, col, n)
+    r2, c2 = perm[row], perm[col]
+    n_bcols = -(-max(n, 1) // 128)
+    key = (r2 // 128) * n_bcols + (c2 // 128)
+    _, counts = np.unique(key, return_counts=True)
+    tiles = int((counts >= min_nnz).sum())
+    clustered = int(counts[counts >= min_nnz].sum())
+    rest = e - clustered
+    tile_bytes = 128 * 128 * 2 + 128 * f_pad * 2  # bf16 block + x tile
+    bsr_bytes = tiles * tile_bytes + (-(-n // 128) * 128) * f_pad * 4
+    t_bsr = (
+        bsr_bytes / bw / mm.eff_hybrid_bsr
+        + (tiles / 8.0) * mm.grid_step_s  # grouped packing, G≈8
+    )
+    costs["hybrid"] = t_bsr + rest / (
+        mm.gather_rows_per_s * mm.eff_onehot
+    )
+    return costs
+
+
+def choose_format(
+    g: SparseGraph,
+    f: int = 200,
+    mm: MachineModel = MachineModel(),
+) -> str:
+    """Cheapest estimated format for this graph (round-3 verdict stretch:
+    ``auto`` used to be a bare node-count threshold)."""
+    costs = estimate_format_costs(g, f=f, mm=mm)
+    return min(costs, key=costs.get)
 
 
 def convert_graph(
@@ -65,7 +156,13 @@ def convert_graph(
             f"unknown spmm format {fmt!r}; choose one of {SPMM_FORMATS}"
         )
     if fmt == "auto":
-        fmt = "dense" if g.n_nodes <= dense_max_nodes else "hybrid"
+        # tiny graphs skip the cost model (dense always wins there and the
+        # model's host pass is the only cost); everything else is priced
+        fmt = (
+            "dense"
+            if g.n_nodes <= dense_max_nodes
+            else choose_format(g)
+        )
     if fmt == "segment":
         return g, None
     if fmt == "dense":
