@@ -264,7 +264,7 @@ def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 16) -> dict:
     hbm = probe["hbm_stream_gbps"] * 1e9
     f_pad = ((f + 127) // 128) * 128
     out = {}
-    for fmt in ("segment", "onehot", "hybrid"):
+    for fmt in ("segment", "onehot", "hybrid", "dense"):
         p = apply_spmm_format(pre, fmt)
         g = p.graph
         dt, _ = time_chained(
@@ -277,6 +277,12 @@ def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 16) -> dict:
             # wall is the floor for both
             rec["bound_model"] = "random-row gather wall (1 row/edge)"
             bound_t = e / gather
+        elif fmt == "dense":
+            # the [N, N] f32 table streams once per pass; at ~15k nodes
+            # the MXU f32 compute is roughly co-dominant but unprobed, so
+            # the stream bound is the (optimistic) floor reported
+            rec["bound_model"] = "HBM stream of the [N, N] f32 table"
+            bound_t = 4.0 * n * n / hbm
         else:
             hb = _hybrid_bound_bytes(p.graph, f_pad)
             rec.update(hb)

@@ -125,8 +125,12 @@ class DenseGraph:
     """Dense [N, N] adjacency — the fastest SpMM layout for small graphs.
 
     The real text graphs have <20k nodes; a dense ``[N, N] @ [N, F]`` is a
-    single large MXU matmul with no gather/scatter at all. Materialized once
-    host-side (not per forward pass).
+    single large MXU matmul with no gather/scatter at all. Materialized
+    once ON DEVICE by a scatter-add from the (already resident) padded
+    COO: the [N, N] table is up to a GB, and pushing a host-built copy
+    through a slow host↔device link takes minutes where the on-device
+    scatter takes milliseconds (R8 docword, 944 MB: observed 10+ min vs
+    ~35 s including compile through the tunnel).
     """
 
     a: jnp.ndarray  # [n, n] float32
@@ -134,14 +138,16 @@ class DenseGraph:
 
     @staticmethod
     def from_sparse_graph(g: "SparseGraph") -> "DenseGraph":
-        e = g.n_edges
-        a = np.zeros((g.n_nodes, g.n_nodes), dtype=np.float32)
-        np.add.at(
-            a,
-            (np.asarray(g.row)[:e], np.asarray(g.col)[:e]),
-            np.asarray(g.val)[:e],
-        )
-        return DenseGraph(a=jnp.asarray(a), n_nodes=int(g.n_nodes))
+        n = int(g.n_nodes)
+
+        @partial(jax.jit, static_argnames=())
+        def densify(row, col, val):
+            # padded entries carry row == col == n → land in the phantom
+            # rim and are sliced off (val is 0 there anyway)
+            d = jnp.zeros((n + 1, n + 1), dtype=jnp.float32)
+            return d.at[row, col].add(val.astype(jnp.float32))[:n, :n]
+
+        return DenseGraph(a=densify(g.row, g.col, g.val), n_nodes=n)
 
 
 @partial(
