@@ -83,7 +83,12 @@ def time_train_epochs(pre, fmt: str, n_epochs: int = 24) -> dict:
         t.num_classes,
         cfg.dropout,
     )
-    rngs1 = jax.random.split(jax.random.PRNGKey(1), 1)
+    # warmup with the SAME block shape as the timed call: an n-epoch scan
+    # is a different program than a 1-epoch scan, and warming up with the
+    # wrong shape leaves the (remote, tens-of-seconds) XLA compile inside
+    # the timed region — observed as a phantom 7-20x "regression" when
+    # the compile cache is cold
+    rngs1 = jax.random.split(jax.random.PRNGKey(1), n_epochs)
     params, opt_state, outs = T._train_block(params, opt_state, rngs1, *args)
     float(np.asarray(outs[1])[0])  # drain: compile + warmup
     rngs = jax.random.split(jax.random.PRNGKey(2), n_epochs)
@@ -264,7 +269,11 @@ def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 16) -> dict:
     hbm = probe["hbm_stream_gbps"] * 1e9
     f_pad = ((f + 127) // 128) * 128
     out = {}
-    for fmt in ("segment", "onehot", "hybrid", "dense"):
+    # hybrid/dense first: measured 10-15% slower when timed immediately
+    # after the segment format's 1.3 s of scatter-heavy reps (session
+    # ordering effect on this chip); each format's chained timing is
+    # independent, so the order is free to choose
+    for fmt in ("hybrid", "dense", "onehot", "segment"):
         p = apply_spmm_format(pre, fmt)
         g = p.graph
         dt, _ = time_chained(
@@ -290,6 +299,7 @@ def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 16) -> dict:
                 "BSR leg at HBM stream BW + residual edges at gather wall"
             )
             bound_t = hb["bsr_bytes_per_pass"] / hbm + hb["rest_edges"] / gather
+        del p, g  # free this format's device arrays before the next
         rec["bound_ms"] = bound_t * 1e3
         rec["fraction_of_bound"] = bound_t / dt
         out[fmt] = rec

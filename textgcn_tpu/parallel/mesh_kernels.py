@@ -481,10 +481,10 @@ def _build_bsr_leg(
              (uniq2 % n_bcols).astype(np.int32))
         )
     # one group size for ALL shards (a single shard_map program): largest
-    # of {8, 4, 2} whose pooled zero-group padding stays under 25%
+    # of {16, 8, 4, 2} whose pooled zero-group padding stays under 25%
     t_total = sum(max(len(t[1]), 1) for t in shard_tiles)
     group = 1
-    for grp in (8, 4, 2):
+    for grp in (16, 8, 4, 2):
         padded = 0
         for _, r_, _ in shard_tiles:
             if len(r_) == 0:
