@@ -412,3 +412,112 @@ def test_streamed_sgc_sharded_matches_single_chip():
             np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
             err_msg=str(ka),
         )
+
+
+def test_streamed_appnp_matches_dense():
+    """Streamed APPNP (third family at beyond-HBM scale): forward and one
+    train step == the dense PPR operator, f32 streaming."""
+    from textgcn_tpu.models.appnp import appnp_init
+    from textgcn_tpu.train.streamed import (
+        make_streamed_appnp_train_step,
+        streamed_appnp_forward,
+    )
+
+    n, f, h, c = 64, 12, 8, 3
+    k, alpha = 4, 0.2
+    edge_fn, a_sym = _toy_stream(n, seed=30)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(31)
+    x = jnp.asarray(rng.randn(n, f), dtype=jnp.float32)
+    y = jnp.asarray(rng.randint(0, c, n), dtype=jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), dtype=jnp.float32)
+    params = appnp_init(jax.random.PRNGKey(32), f, h, c)
+    a = jnp.asarray(a_sym)
+
+    def dense_appnp(p):
+        h1 = jax.nn.relu(x @ p["fc1"]["w"] + p["fc1"]["b"])
+        hm = h1 @ p["fc2"]["w"] + p["fc2"]["b"]
+        z = hm
+        for _ in range(k):
+            z = (1 - alpha) * (a @ z) + alpha * hm
+        return z
+
+    got = streamed_appnp_forward(
+        params, sym_fn, x, n, 8, alpha=alpha, k=k,
+        stream_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(dense_appnp(params)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    opt = optax.adam(0.02)
+    step = make_streamed_appnp_train_step(
+        sym_fn, n, 8, alpha=alpha, k=k, stream_dtype=jnp.float32
+    )
+    p_s, _, loss_s = step(params, opt.init(params), x, y, mask)
+
+    def dense_loss(p):
+        logits = dense_appnp(p)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.sum(mask)
+
+    params_d = appnp_init(jax.random.PRNGKey(32), f, h, c)
+    loss_d, grads = jax.value_and_grad(dense_loss)(params_d)
+    updates, _ = optax.adam(0.02).update(
+        grads, optax.adam(0.02).init(params_d), params_d
+    )
+    p_d = optax.apply_updates(params_d, updates)
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_d),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )
+
+
+def test_streamed_appnp_segmented_matches_monolithic_bf16():
+    """APPNP segmented manual backward (reverse PPR chain with α-weighted
+    cotangent accumulation) == autodiff in the production bf16 dtype."""
+    from textgcn_tpu.models.appnp import appnp_init
+    from textgcn_tpu.train.streamed import (
+        make_streamed_appnp_train_step,
+        make_streamed_appnp_train_step_segmented,
+    )
+
+    n, f, h, c = 64, 12, 8, 3
+    k, alpha = 3, 0.15
+    edge_fn, _ = _toy_stream(n, seed=33)
+    sym_fn = symmetrize_edge_fn(edge_fn, 4)
+    rng = np.random.RandomState(34)
+    x = jnp.asarray(rng.randn(n, f), dtype=jnp.bfloat16)
+    y = jnp.asarray(rng.randint(0, c, n), dtype=jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), dtype=jnp.float32)
+
+    params = appnp_init(jax.random.PRNGKey(35), f, h, c)
+    opt = optax.adam(0.02)
+    mono = make_streamed_appnp_train_step(sym_fn, n, 8, alpha=alpha, k=k)
+    p_m, _, loss_m = mono(params, opt.init(params), x, y, mask)
+
+    params2 = appnp_init(jax.random.PRNGKey(35), f, h, c)
+    segd = make_streamed_appnp_train_step_segmented(
+        sym_fn, n, 8, alpha=alpha, k=k, chunks_per_dispatch=3
+    )
+    p_s, _, loss_s = segd(params2, opt.init(params2), x, y, mask)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-6)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_m),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va, dtype=np.float32),
+            np.asarray(vb, dtype=np.float32),
+            rtol=1e-5, atol=1e-6, err_msg=str(ka),
+        )

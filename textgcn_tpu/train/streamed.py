@@ -313,6 +313,205 @@ def init_streamed(
 
 
 # ---------------------------------------------------------------------------
+# Streamed APPNP — third model family at beyond-HBM scale
+# ---------------------------------------------------------------------------
+
+
+def streamed_appnp_forward(
+    params: Dict[str, Any],
+    edge_fn,
+    x: jnp.ndarray,
+    n_nodes: int,
+    n_chunks: int,
+    alpha: float = None,
+    k: int = None,
+    stream_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """APPNP logits with every PPR propagation streamed: the MLP runs
+    dense (no dropout at scale — same convention as the streamed GCN),
+    then ``z ← (1-α)·Â z + α·h`` iterates k times over the projected
+    [N, C] tile. Differentiable through the symmetric VJP."""
+    from textgcn_tpu.models.appnp import DEFAULT_ALPHA, DEFAULT_K
+
+    alpha = DEFAULT_ALPHA if alpha is None else alpha
+    k = DEFAULT_K if k is None else k
+    h = jnp.dot(
+        x, params["fc1"]["w"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    h = jax.nn.relu(h + params["fc1"]["b"])
+    h = (
+        jnp.dot(h, params["fc2"]["w"], preferred_element_type=jnp.float32)
+        + params["fc2"]["b"]
+    )
+    z = h
+    for _ in range(k):
+        z = (1.0 - alpha) * spmm_streamed_sym(
+            edge_fn, z.astype(stream_dtype), n_nodes, n_chunks
+        ) + alpha * h
+    return z
+
+
+def make_streamed_appnp_train_step(
+    edge_fn,
+    n_nodes: int,
+    n_chunks: int,
+    alpha: float = None,
+    k: int = None,
+    optimizer=None,
+    lr: float = 0.02,
+    stream_dtype=jnp.bfloat16,
+):
+    """Compiled streamed APPNP train step (autodiff), one dispatch."""
+    opt = optimizer or optax.adam(lr)
+
+    def loss_fn(params, x, y, mask):
+        logits = streamed_appnp_forward(
+            params, edge_fn, x, n_nodes, n_chunks, alpha, k, stream_dtype
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.sum(mask)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, y, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_streamed_appnp_train_step_segmented(
+    edge_fn,
+    n_nodes: int,
+    n_chunks: int,
+    alpha: float = None,
+    k: int = None,
+    optimizer=None,
+    lr: float = 0.02,
+    stream_dtype=jnp.bfloat16,
+    chunks_per_dispatch: int = 32,
+    stream_fn=None,
+):
+    """Streamed APPNP train step in BOUNDED dispatches (manual backward).
+
+    2k streamed passes per step. The PPR operator is the symmetric
+    polynomial ``M = (1-α)^k Â^k + α Σ_{i<k} (1-α)^i Â^i``, so the
+    cotangent of the MLP output is computed by the EXACT reverse of the
+    forward chain: ``w ← (1-α)·round(Â w)`` with the α-weighted partial
+    cotangents accumulated along the way — each ``round`` mirrors the
+    autodiff cast placement, so segmented == monolithic holds in bf16
+    (test-pinned), matching the discipline of the GCN/SGC steps above.
+    """
+    from textgcn_tpu.models.appnp import DEFAULT_ALPHA, DEFAULT_K
+
+    alpha = DEFAULT_ALPHA if alpha is None else alpha
+    k = DEFAULT_K if k is None else k
+    opt = optimizer or optax.adam(lr)
+    stream = _make_padded_stream(
+        edge_fn, n_nodes, n_chunks, chunks_per_dispatch, stream_fn
+    )
+
+    @jax.jit
+    def mlp_fwd(params, x):
+        a1 = jnp.dot(
+            x, params["fc1"]["w"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        h1 = jax.nn.relu(a1 + params["fc1"]["b"])
+        h = (
+            jnp.dot(h1, params["fc2"]["w"], preferred_element_type=jnp.float32)
+            + params["fc2"]["b"]
+        )
+        return h1, h
+
+    @jax.jit
+    def ppr_step(z_acc, h):
+        # z ← (1-α)·(streamed result) + α·h, with the autodiff cast chain
+        return (1.0 - alpha) * z_acc + alpha * h
+
+    @jax.jit
+    def to_stream(v):
+        return v.astype(stream_dtype)
+
+    @jax.jit
+    def loss_and_grad(params, z, y, mask):
+        logits = z
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        denom = jnp.sum(mask)
+        loss = jnp.sum(nll * mask) / denom
+        p = jnp.exp(logp)
+        onehot = jax.nn.one_hot(y, logits.shape[1], dtype=p.dtype)
+        g_logits = (p - onehot) * (mask / denom)[:, None]
+        return loss, g_logits
+
+    @jax.jit
+    def bwd_scale_acc(w_stream, acc):
+        # one reverse PPR step: w ← (1-α)·round(Âw); acc += α·w
+        w = (1.0 - alpha) * w_stream.astype(stream_dtype).astype(
+            jnp.float32
+        )
+        return w, acc + alpha * w
+
+    @jax.jit
+    def apply_grads(params, opt_state, x, h1, g_h):
+        dw2 = jnp.dot(h1.T, g_h, preferred_element_type=jnp.float32)
+        db2 = jnp.sum(g_h, axis=0)
+        g_h1 = jnp.dot(
+            g_h, params["fc2"]["w"].T, preferred_element_type=jnp.float32
+        )
+        g_a1 = jnp.where(h1 > 0, g_h1, 0.0)
+        db1 = jnp.sum(g_a1, axis=0)
+        dw1 = (
+            jnp.dot(x.T, g_a1, preferred_element_type=jnp.float32)
+            .astype(x.dtype)
+            .astype(params["fc1"]["w"].dtype)
+        )
+        grads = {
+            "fc1": {"w": dw1, "b": db1},
+            "fc2": {"w": dw2.astype(params["fc2"]["w"].dtype), "b": db2},
+        }
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    def step(params, opt_state, x, y, mask):
+        h1, h = mlp_fwd(params, x)
+        z = h
+        for _ in range(k):
+            zs = stream(to_stream(z))
+            if z is not h:
+                z.delete()
+            z = ppr_step(zs, h)
+            zs.delete()
+        loss, w = loss_and_grad(params, z, y, mask)
+        z.delete()
+        # reverse chain: g_h = w_0 + α·Σ_{i=1..k} w_i  (w_k = g_logits)
+        acc = alpha * w
+        for i in range(k):
+            ws = stream(to_stream(w))
+            w.delete()
+            if i < k - 1:
+                w, acc = bwd_scale_acc(ws, acc)
+            else:
+                w = (1.0 - alpha) * ws.astype(stream_dtype).astype(
+                    jnp.float32
+                )
+            ws.delete()
+        g_h = acc + w
+        w.delete()
+        params, opt_state = apply_grads(params, opt_state, x, h1, g_h)
+        h1.delete()
+        g_h.delete()
+        return params, opt_state, loss
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # Streamed SGC — second model family at beyond-HBM scale (round-3 verdict
 # weak #4: streamed training was the hand-rolled 2-layer GCN only)
 # ---------------------------------------------------------------------------
