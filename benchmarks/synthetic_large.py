@@ -200,6 +200,139 @@ def run_train_stream(args) -> int:
     return 0
 
 
+def run_mesh_stream(args) -> int:
+    """Sharded beyond-HBM streaming: the composed streaming × mesh path
+    (textgcn_tpu.parallel.streamed) at synthetic scale.
+
+    Row-partitions ``--n`` nodes over ``--shards`` devices (default: all
+    visible — 1 on this box's real chip, N on a virtual CPU mesh via
+    ``jax.config jax_num_cpu_devices``), streams a PRNG bucket edge set
+    through the ppermute ring, and times one full Â@X pass plus one
+    streamed sharded train step (``--model gcn|sgc``, segmented
+    dispatches). Per-shard memory stays O(N/P·F); no shard ever holds
+    the edge list.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from textgcn_tpu.parallel.sharded import make_mesh
+    from textgcn_tpu.parallel.streamed import (
+        make_random_bucket_edge_fn,
+        make_streamed_sharded_sgc_train_step_segmented,
+        make_streamed_sharded_train_step_segmented,
+        shard_streamed_inputs,
+        spmm_streamed_mesh_multi,
+        symmetrize_bucket_edge_fn,
+    )
+    from textgcn_tpu.train.streamed import init_streamed
+
+    n_sh = args.shards or len(jax.devices())
+    mesh = make_mesh(n_sh)
+    rps = -(-args.n // n_sh)
+    rps += (-rps) % 8
+    n_pad = rps * n_sh
+    e_dir = args.n * args.deg
+    chunk_e = max(1024, args.chunk // (n_sh * n_sh))
+    n_chunks = max(1, -(-e_dir // (n_sh * n_sh * chunk_e)))
+    e_eff = n_sh * n_sh * n_chunks * chunk_e  # actual directed edges drawn
+    f = args.f
+    print(
+        f"[mesh-stream] {n_pad} nodes over {n_sh} shards (rps={rps}), "
+        f"{2 * e_eff} symmetric edges in {2 * n_chunks} chunks/bucket x "
+        f"{chunk_e}, F={f}",
+        file=sys.stderr,
+        flush=True,
+    )
+    edge_fn = make_random_bucket_edge_fn(rps, chunk_e)
+    sym_fn = symmetrize_bucket_edge_fn(edge_fn, n_chunks)
+    dims = (rps, n_sh, 2 * n_chunks)
+    sh = NamedSharding(mesh, P("nodes", None))
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (n_pad, f), dtype=jnp.bfloat16),
+        out_shardings=sh,
+    )(jax.random.PRNGKey(0))
+
+    out = spmm_streamed_mesh_multi(
+        edge_fn=sym_fn, x=x, mesh=mesh, dims=dims,
+        chunks_per_dispatch=args.seg_chunks or 16,
+    )
+    float(jnp.sum(out))  # compile + warmup
+    out.delete()
+    t0 = time.perf_counter()
+    out = spmm_streamed_mesh_multi(
+        edge_fn=sym_fn, x=x, mesh=mesh, dims=dims,
+        chunks_per_dispatch=args.seg_chunks or 16,
+    )
+    float(jnp.sum(out))
+    dt = time.perf_counter() - t0
+    out.delete()
+    print(
+        json.dumps(
+            {
+                "phase": "spmm_streamed_mesh",
+                "n_nodes": n_pad,
+                "n_edges": 2 * e_eff,
+                "n_shards": n_sh,
+                "f": f,
+                "s_per_pass": dt,
+                "edges_per_s_per_shard": 2 * e_eff / dt / n_sh,
+            }
+        ),
+        flush=True,
+    )
+
+    c, h = args.classes, args.hidden
+    y = jax.jit(
+        lambda k: jax.random.randint(k, (n_pad,), 0, c, dtype=jnp.int32),
+        out_shardings=NamedSharding(mesh, P("nodes")),
+    )(jax.random.PRNGKey(1))
+    mask = jax.jit(
+        lambda k: (jax.random.uniform(k, (n_pad,)) < 0.5).astype(
+            jnp.float32
+        ),
+        out_shardings=NamedSharding(mesh, P("nodes")),
+    )(jax.random.PRNGKey(2))
+    if args.model == "sgc":
+        from textgcn_tpu.models.sgc import sgc_init
+
+        params = sgc_init(jax.random.PRNGKey(3), f, 0, c)
+        opt = optax.adam(0.02)
+        opt_state = opt.init(params)
+        step = make_streamed_sharded_sgc_train_step_segmented(
+            sym_fn, mesh, dims,
+            chunks_per_dispatch=args.seg_chunks or 16,
+        )
+    else:
+        params, _, opt_state = init_streamed(jax.random.PRNGKey(3), f, h, c)
+        step = make_streamed_sharded_train_step_segmented(
+            sym_fn, mesh, dims,
+            chunks_per_dispatch=args.seg_chunks or 16,
+        )
+    params, opt_state, loss = step(params, opt_state, x, y, mask)
+    float(loss)
+    t0 = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state, x, y, mask)
+    loss_v = float(loss)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "phase": f"train_step_streamed_mesh_{args.model}",
+                "n_nodes": n_pad,
+                "n_edges": 2 * e_eff,
+                "n_shards": n_sh,
+                "f": f,
+                "s_per_step": dt,
+                "loss": loss_v,
+            }
+        ),
+        flush=True,
+    )
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=2_000_000)
@@ -244,8 +377,25 @@ def main() -> int:
         "single-program runtime under tunneled workers); 0 = monolithic "
         "one-dispatch autodiff step",
     )
+    p.add_argument(
+        "--mesh_stream",
+        action="store_true",
+        help="sharded beyond-HBM streaming (parallel/streamed.py): one "
+        "ring-streamed A@X pass + one streamed sharded train step over "
+        "--shards devices",
+    )
+    p.add_argument(
+        "--shards", type=int, default=0,
+        help="mesh size for --mesh_stream (0 = all visible devices)",
+    )
+    p.add_argument(
+        "--model", choices=("gcn", "sgc"), default="gcn",
+        help="streamed family for the --mesh_stream train step",
+    )
     args = p.parse_args()
 
+    if args.mesh_stream:
+        return run_mesh_stream(args)
     if args.train_stream:
         return run_train_stream(args)
     if args.stream:

@@ -67,3 +67,50 @@ def test_mesh_kernel_perf_smoke():
         assert out[key]["pass_ms"] > 0
         assert out[key]["edges_per_s_per_shard"] > 0
     assert 0 < out["allgather_hybrid"]["dense_fraction"] <= 1
+
+
+def test_streamed_mesh_scale_perf_smoke(monkeypatch):
+    """The streamed-mesh bench phase (parallel/streamed.py at P=1) runs at
+    tiny size — API breakage in the composed scale path is caught here,
+    not at driver time."""
+    res = bench.streamed_mesh_scale_perf(n=2048, deg=4, f=16, chunk=2048)
+    assert res["n_shards"] == 1
+    assert res["edges_per_s_per_shard"] > 0
+
+
+def test_streamed_sgc_train_perf_smoke():
+    res = bench.streamed_sgc_train_perf(
+        n=2048, deg=4, f=16, c=4, chunk=2048
+    )
+    assert np.isfinite(res["loss"])
+    assert res["s_per_step"] > 0
+
+
+def test_synthetic_large_mesh_stream_smoke(capsys):
+    """benchmarks/synthetic_large.py --mesh_stream end-to-end at tiny
+    size on the virtual mesh (both phases emit their JSON lines)."""
+    import json as _json
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks",
+        ),
+    )
+    import synthetic_large
+
+    sys.argv = [
+        "synthetic_large", "--mesh_stream", "--n", "1024", "--deg", "4",
+        "--f", "16", "--hidden", "8", "--classes", "4", "--chunk",
+        "16384", "--shards", "4",
+    ]
+    assert synthetic_large.main() == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    phases = {r["phase"] for r in lines}
+    assert "spmm_streamed_mesh" in phases
+    assert "train_step_streamed_mesh_gcn" in phases
