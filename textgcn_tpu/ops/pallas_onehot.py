@@ -79,6 +79,41 @@ class OneHotPlan:
     c_sc: int
 
 
+def choose_onehot_k(
+    row: np.ndarray,
+    n_nodes: int,
+    w: int = 512,
+    f_hint: int = 256,
+    max_pad_frac: float = 0.10,
+) -> int:
+    """Largest chunk size in {4096, 2048, 1024, 512} whose phantom-edge
+    padding stays under ``max_pad_frac`` (each window's edges pad to a
+    chunk multiple; padded slots still gather).
+
+    Bigger k halves grid steps AND — decisively — keeps dense streams in
+    ONE superchunk: the R8 docword one-hot pass measured 37.7 ms at
+    k=2048/n_sc=2 vs 23.1 ms = 83% of the gather wall at k=4096/n_sc=1
+    (the lax.scan over superchunks serializes gather and reduce stages).
+    Sparse streams (the hybrid residual: tens of edges per window chunk)
+    would pay multi-x phantom gathers at large k, so k must follow the
+    per-window occupancy. k=4096 is capped to f_hint ≤ 256 lanes (the
+    [k, f_pad] product block must fit VMEM double-buffered next to the
+    [w, k] one-hot matrix; k=8192 at f=256 measured a VMEM OOM).
+    """
+    row = np.asarray(row, dtype=np.int64)
+    e = max(len(row), 1)
+    n_win = max(1, -(-n_nodes // w))
+    counts = np.bincount(row // w, minlength=n_win)
+    k_max = 4096 if f_hint <= 256 else 2048
+    for k in (4096, 2048, 1024, 512):
+        if k > k_max:
+            continue
+        padded = int((np.maximum(-(-counts // k), 1) * k).sum())
+        if padded - e <= max_pad_frac * e:
+            return k
+    return 512
+
+
 def build_onehot_plan(
     row: np.ndarray,
     col: np.ndarray,
@@ -375,11 +410,16 @@ class OneHotGraph:
         val: np.ndarray,
         n_nodes: int,
         symmetric: bool = False,
-        k: int = 2048,
+        k: int = None,
         w: int = 512,
-        max_p_bytes: int = 1 << 30,
+        max_p_bytes: int = 2 << 30,
         f_hint: int = 256,
     ) -> "OneHotGraph":
+        """``k=None`` (default) picks the chunk size from the per-window
+        edge occupancy (:func:`choose_onehot_k`) — dense streams get
+        k=4096 single-superchunk plans, sparse residuals small chunks."""
+        if k is None:
+            k = choose_onehot_k(row, n_nodes, w=w, f_hint=f_hint)
         fwd = build_onehot_plan(
             row, col, val, n_nodes, k=k, w=w, max_p_bytes=max_p_bytes,
             f_hint=f_hint,
