@@ -109,6 +109,24 @@ def _plan_kw(rps: int, k: int, w: int) -> Tuple[int, int]:
     return max(128, k - k % 128), max(8, w - w % 8)
 
 
+def _choose_mesh_k(bucket_of, local_row, rps: int, w: int, n_buckets: int):
+    """Occupancy-adaptive chunk size for the mesh planners — the mesh
+    analogue of :func:`textgcn_tpu.ops.pallas_onehot.choose_onehot_k`:
+    every (bucket, local window) pads its edges to a chunk multiple, so
+    the candidate test runs over the per-(bucket, window) counts pooled
+    across ALL buckets (k must be uniform — one shard_map program)."""
+    n_win = max(1, -(-rps // w))
+    e = max(len(local_row), 1)
+    counts = np.bincount(
+        bucket_of * n_win + local_row // w, minlength=n_buckets * n_win
+    )
+    for k in (4096, 2048, 1024, 512):
+        padded = int((np.maximum(-(-counts // k), 1) * k).sum())
+        if padded - e <= 0.10 * e:
+            return k
+    return 512
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["col", "val", "lrow", "wloc"],
@@ -144,11 +162,15 @@ class MeshOneHotAllGather:
     def from_graph(
         g: SparseGraph,
         n_shards: int,
-        k: int = 512,
+        k: int = None,
         w: int = 256,
         symmetric: bool = True,
         rows_per_shard: int = None,
     ) -> "MeshOneHotAllGather":
+        """``k=None`` picks the chunk size from the per-(shard, window)
+        edge occupancy (:func:`_choose_mesh_k`) — dense shard streams get
+        big chunks (fewer grid steps), sparse ones small (bounded phantom
+        padding), matching the single-chip auto planner."""
         row, col, val = _coo_of(g)
         if rows_per_shard is None:
             rps, n_pad = _shard_geometry(g.n_nodes, n_shards)
@@ -158,6 +180,10 @@ class MeshOneHotAllGather:
             rps = int(rows_per_shard)
             n_pad = rps * n_shards
             assert n_pad >= g.n_nodes
+        if k is None:
+            k = _choose_mesh_k(
+                row // rps, row - (row // rps) * rps, rps, w, n_shards
+            )
         k, w = _plan_kw(rps, k, w)
         # one sort, then per-shard contiguous slices (not P boolean masks
         # over the full edge list — matters at the 500M-edge scale)
@@ -237,15 +263,22 @@ class MeshOneHotHalo:
     def from_graph(
         g: SparseGraph,
         n_shards: int,
-        k: int = 512,
+        k: int = None,
         w: int = 256,
         symmetric: bool = True,
     ) -> "MeshOneHotHalo":
+        """``k=None`` picks the chunk size from the per-(bucket, window)
+        occupancy (:func:`_choose_mesh_k` over the P² ring buckets)."""
         row, col, val = _coo_of(g)
         rps, n_pad = _shard_geometry(g.n_nodes, n_shards)
+        bucket = (row // rps) * n_shards + col // rps
+        if k is None:
+            k = _choose_mesh_k(
+                bucket, row - (row // rps) * rps, rps, w,
+                n_shards * n_shards,
+            )
         k, w = _plan_kw(rps, k, w)
         # one sort over (owner, source) buckets, then contiguous slices
-        bucket = (row // rps) * n_shards + col // rps
         order = np.argsort(bucket, kind="stable")
         row, col, val = row[order], col[order], val[order]
         offs = np.concatenate(
@@ -558,7 +591,7 @@ class MeshHybridAllGather:
         bm: int = 128,
         bn: int = 128,
         min_nnz: int = 24,
-        k: int = 512,
+        k: int = None,  # residual leg chunk size; None = occupancy-adaptive
         w: int = 256,
         symmetric: bool = True,
     ) -> "MeshHybridAllGather":
