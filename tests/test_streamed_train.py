@@ -521,3 +521,78 @@ def test_streamed_appnp_segmented_matches_monolithic_bf16():
             np.asarray(vb, dtype=np.float32),
             rtol=1e-5, atol=1e-6, err_msg=str(ka),
         )
+
+
+def test_streamed_appnp_sharded_matches_single_chip():
+    """The sharded streamed APPNP step on the virtual mesh == the dense
+    PPR-operator train step (third family at beyond-HBM scale, sharded)."""
+    from textgcn_tpu.models.appnp import appnp_init
+    from textgcn_tpu.parallel.sharded import make_mesh
+    from textgcn_tpu.parallel.streamed import (
+        make_random_bucket_edge_fn,
+        make_streamed_sharded_appnp_train_step_segmented,
+        shard_streamed_inputs,
+        symmetrize_bucket_edge_fn,
+    )
+
+    p_sh, rps, f, h, c = 4, 16, 12, 8, 3
+    kk, alpha = 3, 0.2
+    n_pad = p_sh * rps
+    mesh = make_mesh(p_sh)
+    edge_fn = make_random_bucket_edge_fn(rps, chunk_e=24, seed=40)
+    sym_fn = symmetrize_bucket_edge_fn(edge_fn, 2)
+    dims = (rps, p_sh, 4)
+
+    a = np.zeros((n_pad, n_pad), dtype=np.float64)
+    for p in range(p_sh):
+        for q in range(p_sh):
+            for j in range(2):
+                r, cc, v = (np.asarray(t) for t in edge_fn(p, q, j))
+                np.add.at(
+                    a, (p * rps + r, q * rps + cc), v.astype(np.float64)
+                )
+    a = jnp.asarray((a + a.T).astype(np.float32))
+
+    rng = np.random.RandomState(41)
+    x = rng.randn(n_pad, f).astype(np.float32)
+    y = rng.randint(0, c, n_pad).astype(np.int32)
+    mask = (rng.rand(n_pad) < 0.6).astype(np.float32)
+    xs, ys, ms = shard_streamed_inputs(mesh, x, y, mask)
+
+    params = appnp_init(jax.random.PRNGKey(42), f, h, c)
+    opt = optax.adam(0.02)
+    step = make_streamed_sharded_appnp_train_step_segmented(
+        sym_fn, mesh, dims, alpha=alpha, k=kk,
+        stream_dtype=jnp.float32, chunks_per_dispatch=3,
+    )
+    p_s, _, loss_s = step(params, opt.init(params), xs, ys, ms)
+
+    def dense_loss(p):
+        h1 = jax.nn.relu(jnp.asarray(x) @ p["fc1"]["w"] + p["fc1"]["b"])
+        hm = h1 @ p["fc2"]["w"] + p["fc2"]["b"]
+        z = hm
+        for _ in range(kk):
+            z = (1 - alpha) * (a @ z) + alpha * hm
+        logp = jax.nn.log_softmax(z, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.asarray(y)[:, None], axis=1
+        )[:, 0]
+        m = jnp.asarray(mask)
+        return jnp.sum(nll * m) / jnp.sum(m)
+
+    params_d = appnp_init(jax.random.PRNGKey(42), f, h, c)
+    loss_d, grads = jax.value_and_grad(dense_loss)(params_d)
+    updates, _ = optax.adam(0.02).update(
+        grads, optax.adam(0.02).init(params_d), params_d
+    )
+    p_d = optax.apply_updates(params_d, updates)
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_d),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )

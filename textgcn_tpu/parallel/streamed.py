@@ -515,6 +515,50 @@ def make_streamed_sharded_sgc_train_step_segmented(
     )
 
 
+def make_streamed_sharded_appnp_train_step_segmented(
+    edge_fn,
+    mesh: Mesh,
+    dims,
+    edge_args=(),
+    alpha: float = None,
+    k: int = None,
+    optimizer=None,
+    lr: float = 0.02,
+    stream_dtype=jnp.bfloat16,
+    chunks_per_dispatch: int = 32,
+):
+    """Sharded streamed APPNP train step in bounded dispatches — the
+    third model family at beyond-HBM scale on the mesh. Same delegation
+    pattern as the GCN/SGC variants: the single-chip APPNP segmented
+    factory's dense MLP pieces run GSPMD-sharded, every PPR propagation
+    (k forward + k reverse-chain passes) rides
+    :func:`spmm_streamed_mesh_multi`'s ring.
+    """
+    from textgcn_tpu.train.streamed import (
+        make_streamed_appnp_train_step_segmented as _base,
+    )
+
+    def stream_fn(v):
+        return spmm_streamed_mesh_multi(
+            edge_fn, v, mesh, dims, edge_args,
+            chunks_per_dispatch=chunks_per_dispatch,
+        )
+
+    rps, n_shards, n_chunks = dims
+    return _base(
+        None,
+        rps * n_shards,
+        n_chunks,
+        alpha=alpha,
+        k=k,
+        optimizer=optimizer,
+        lr=lr,
+        stream_dtype=stream_dtype,
+        chunks_per_dispatch=chunks_per_dispatch,
+        stream_fn=stream_fn,
+    )
+
+
 def shard_streamed_inputs(
     mesh: Mesh, x: np.ndarray, y: np.ndarray, mask: np.ndarray
 ):
