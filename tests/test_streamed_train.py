@@ -596,3 +596,78 @@ def test_streamed_appnp_sharded_matches_single_chip():
             np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
             err_msg=str(ka),
         )
+
+
+def test_hostfed_stream_matches_dense(tmp_path):
+    """Host-fed chunk streaming (edges on disk via np.memmap — the REAL
+    beyond-HBM edge source): Â@x and a full segmented GCN train step must
+    match the dense operator, including an uneven padded tail chunk."""
+    from textgcn_tpu.ops.spmm import (
+        edge_chunks_from_memmap,
+        spmm_streamed_hostfed,
+    )
+    from textgcn_tpu.train.streamed import (
+        make_streamed_train_step_segmented,
+    )
+
+    n, f, h, c = 64, 12, 8, 3
+    rng = np.random.RandomState(50)
+    e_dir = 150  # not a chunk multiple: exercises the padded tail
+    row = rng.randint(0, n, e_dir).astype(np.int32)
+    col = rng.randint(0, n, e_dir).astype(np.int32)
+    val = rng.rand(e_dir).astype(np.float32)
+    # symmetrize host-side — the documented route for real graphs
+    r2 = np.concatenate([row, col])
+    c2 = np.concatenate([col, row])
+    v2 = np.concatenate([val, val])
+    np.asarray(r2, np.int32).tofile(tmp_path / "row.bin")
+    np.asarray(c2, np.int32).tofile(tmp_path / "col.bin")
+    np.asarray(v2, np.float32).tofile(tmp_path / "val.bin")
+    chunks = edge_chunks_from_memmap(
+        str(tmp_path / "row.bin"), str(tmp_path / "col.bin"),
+        str(tmp_path / "val.bin"), chunk_e=64,
+    )
+    a = np.zeros((n, n), dtype=np.float64)
+    np.add.at(a, (r2, c2), v2)
+    a = jnp.asarray(a.astype(np.float32))
+
+    x = jnp.asarray(rng.randn(n, f), dtype=jnp.float32)
+    got = spmm_streamed_hostfed(chunks, x, n)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(a @ x), rtol=1e-5, atol=1e-5
+    )
+    # the source is RE-ITERABLE: a second pass (as every backward pass
+    # must do) gives the same answer
+    got2 = spmm_streamed_hostfed(chunks, x, n)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got))
+
+    # full segmented train step fed from disk via the stream_fn hook
+    y = jnp.asarray(rng.randint(0, c, n), dtype=jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), dtype=jnp.float32)
+    params, opt, opt_state = init_streamed(jax.random.PRNGKey(51), f, h, c)
+    step = make_streamed_train_step_segmented(
+        None, n, 1, stream_dtype=jnp.float32,
+        stream_fn=lambda v: spmm_streamed_hostfed(chunks, v, n),
+    )
+    p_s, _, loss_s = step(params, opt_state, x, y, mask)
+
+    def dense_loss(p):
+        logits = _dense_forward(p, a, x)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.sum(mask)
+
+    params_d, _, opt_state_d = init_streamed(jax.random.PRNGKey(51), f, h, c)
+    loss_d, grads = jax.value_and_grad(dense_loss)(params_d)
+    updates, _ = optax.adam(0.02).update(grads, opt_state_d, params_d)
+    p_d = optax.apply_updates(params_d, updates)
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_d),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )

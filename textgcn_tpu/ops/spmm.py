@@ -334,6 +334,98 @@ def spmm_streamed_multi(
     return acc
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _hostfed_chunk_add(acc, row, col, val, x):
+    """One host-fed chunk scatter-added into the DONATED accumulator
+    (same drop/fill padding semantics as the device-generated stream)."""
+    gathered = jnp.take(
+        x, col, axis=0, mode="fill", fill_value=0, unique_indices=False
+    )
+    contrib = gathered * val[:, None].astype(x.dtype)
+    return acc.at[row].add(
+        contrib.astype(jnp.float32),
+        indices_are_sorted=False,
+        unique_indices=False,
+        mode="drop",
+    )
+
+
+def spmm_streamed_hostfed(chunks, x: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    """``Â @ x`` over edge chunks that live on HOST (disk / RAM) only.
+
+    The device-generated stream (:func:`spmm_streamed`) covers synthetic
+    and HBM-resident edge sources; REAL beyond-HBM graphs keep their edge
+    list on disk. This consumes any (re-)iterable of host ``(row, col,
+    val)`` chunk triples — e.g. :func:`edge_chunks_from_memmap` over
+    ``np.memmap`` files — transferring one chunk at a time with a
+    ONE-CHUNK LOOKAHEAD: chunk i+1's host→device copy is issued (JAX
+    transfers are async) before chunk i's scatter-add is dispatched, so
+    PCIe/DMA overlaps compute. Only ``x``, the f32 accumulator, and at
+    most two chunks are ever on device.
+
+    Differentiable indirectly: for symmetric Â the backward is this same
+    function applied to the cotangent — the segmented train steps accept
+    it through their ``stream_fn`` hook (each of the 2k passes re-reads
+    the chunk source; that re-read is the honest cost of edges that
+    cannot be resident).
+    """
+    acc = jnp.zeros((n_nodes, x.shape[1]), dtype=jnp.float32)
+    it = iter(chunks)
+    try:
+        nxt = next(it)
+    except StopIteration:
+        return acc
+    pending = tuple(jax.device_put(jnp.asarray(a)) for a in nxt)
+    while pending is not None:
+        cur = pending
+        pending = None
+        try:
+            nxt = next(it)
+            pending = tuple(jax.device_put(jnp.asarray(a)) for a in nxt)
+        except StopIteration:
+            pass
+        acc = _hostfed_chunk_add(acc, cur[0], cur[1], cur[2], x)
+    return acc
+
+
+def edge_chunks_from_memmap(
+    row_path: str,
+    col_path: str,
+    val_path: str,
+    chunk_e: int = 4_000_000,
+    n_edges: int = None,
+):
+    """Re-iterable host chunk source over ``np.memmap`` edge files
+    (int32 row/col, float32 val) — the on-disk feed for
+    :func:`spmm_streamed_hostfed`. The OS page cache does the disk
+    prefetching; chunks are yielded as numpy views (copied only at the
+    host→device transfer). The final partial chunk is padded with the
+    drop/fill convention (row = col = n... callers pass padded ids via
+    the files themselves or accept the zero-val pad here).
+    """
+    import numpy as np
+
+    class _Source:
+        def __iter__(self):
+            row = np.memmap(row_path, dtype=np.int32, mode="r")
+            col = np.memmap(col_path, dtype=np.int32, mode="r")
+            val = np.memmap(val_path, dtype=np.float32, mode="r")
+            e = len(row) if n_edges is None else n_edges
+            for lo in range(0, e, chunk_e):
+                hi = min(lo + chunk_e, e)
+                r, c, v = row[lo:hi], col[lo:hi], val[lo:hi]
+                if hi - lo < chunk_e:  # static shapes: pad the tail
+                    pad = chunk_e - (hi - lo)
+                    big = np.iinfo(np.int32).max  # drops on scatter,
+                    # fills 0 on gather (out of range either way)
+                    r = np.concatenate([r, np.full(pad, big, np.int32)])
+                    c = np.concatenate([c, np.full(pad, big, np.int32)])
+                    v = np.concatenate([v, np.zeros(pad, np.float32)])
+                yield r, c, v
+
+    return _Source()
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
 def spmm_streamed_sym(
     edge_fn,
