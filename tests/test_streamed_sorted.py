@@ -1,0 +1,158 @@
+"""Oracles for the sorted (plan-layout) streamed SpMM
+(textgcn_tpu/ops/streamed_sorted.py) — round-4 verdict weak #1.
+
+Pallas runs in interpret mode on the CPU test backend (same numerics)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from textgcn_tpu.ops.pallas_onehot import build_onehot_plan
+from textgcn_tpu.ops.streamed_sorted import (
+    SortedStreamSpec,
+    lattice_to_coo,
+    make_lattice_edge_fn,
+    padded_rows_for_plan,
+    plan_stream,
+    save_plan_chunks,
+    sorted_chunks_from_dir,
+    spmm_streamed_sorted,
+    spmm_streamed_sorted_hostfed,
+    spmm_streamed_sorted_multi,
+    spmm_streamed_sorted_sym,
+)
+
+N_CHUNKS, W_SC, W, CELL_E, K = 5, 2, 8, 64, 128
+
+
+def _lattice():
+    edge_fn, spec = make_lattice_edge_fn(
+        N_CHUNKS, W_SC, W, CELL_E, K, seed=3
+    )
+    n_pad = N_CHUNKS * spec.rows_per_chunk
+    return edge_fn, spec, n_pad
+
+
+def _lattice_matrix(edge_fn, spec, n_pad):
+    r, c, v = lattice_to_coo(edge_fn, N_CHUNKS, spec)
+    return sp.coo_matrix((v, (r, c)), shape=(n_pad, n_pad)).tocsr()
+
+
+def test_lattice_stream_is_symmetric():
+    edge_fn, spec, n_pad = _lattice()
+    a = _lattice_matrix(edge_fn, spec, n_pad)
+    diff = a - a.T
+    assert abs(diff).max() < 1e-6
+
+
+def test_sorted_stream_matches_scipy():
+    edge_fn, spec, n_pad = _lattice()
+    a = _lattice_matrix(edge_fn, spec, n_pad)
+    x = np.random.default_rng(0).normal(size=(n_pad, 10)).astype(np.float32)
+    want = a @ x
+    got = spmm_streamed_sorted(
+        edge_fn, jnp.asarray(x), N_CHUNKS, spec, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_sorted_multi_matches_monolithic():
+    edge_fn, spec, n_pad = _lattice()
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(n_pad, 7)).astype(np.float32)
+    )
+    mono = spmm_streamed_sorted(edge_fn, x, N_CHUNKS, spec, interpret=True)
+    multi = spmm_streamed_sorted_multi(
+        edge_fn, x, N_CHUNKS, spec, chunks_per_dispatch=2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(mono), np.asarray(multi)[:, :7], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_sorted_sym_grad_matches_dense():
+    edge_fn, spec, n_pad = _lattice()
+    a = jnp.asarray(_lattice_matrix(edge_fn, spec, n_pad).toarray())
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(n_pad, 6)).astype(np.float32)
+    )
+    t = jnp.asarray(
+        np.random.default_rng(3).normal(size=(n_pad, 6)).astype(np.float32)
+    )
+
+    def loss_stream(xx):
+        return jnp.sum(
+            spmm_streamed_sorted_sym(edge_fn, xx, N_CHUNKS, spec, True) * t
+        )
+
+    def loss_dense(xx):
+        return jnp.sum((a @ xx) * t)
+
+    g_stream = jax.grad(loss_stream)(x)
+    g_dense = jax.grad(loss_dense)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_stream), np.asarray(g_dense), rtol=2e-4, atol=2e-4
+    )
+
+
+def _random_coo(n, e, seed):
+    rng = np.random.default_rng(seed)
+    row = rng.integers(0, n, e).astype(np.int64)
+    col = rng.integers(0, n, e).astype(np.int64)
+    val = rng.random(e).astype(np.float64)
+    return row, col, val
+
+
+def test_plan_stream_matches_scipy():
+    n, e = 300, 4000
+    row, col, val = _random_coo(n, e, 4)
+    # small max_p_bytes forces several superchunks = several stream chunks
+    plan = build_onehot_plan(
+        row, col, val, n, k=128, w=8, max_p_bytes=64 * 128 * 4, f_hint=16
+    )
+    assert plan.n_sc > 1
+    edge_fn, n_chunks, spec = plan_stream(plan)
+    n_pad = padded_rows_for_plan(plan)
+    x = np.random.default_rng(5).normal(size=(n, 16)).astype(np.float32)
+    xp = np.zeros((n_pad, 16), np.float32)
+    xp[:n] = x
+    got = spmm_streamed_sorted(
+        edge_fn, jnp.asarray(xp), n_chunks, spec, interpret=True
+    )
+    want = sp.coo_matrix((val, (row, col)), shape=(n, n)).tocsr() @ x
+    np.testing.assert_allclose(
+        np.asarray(got)[:n], want, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_hostfed_sorted_matches_resident(tmp_path):
+    n, e = 200, 3000
+    row, col, val = _random_coo(n, e, 6)
+    plan = build_onehot_plan(
+        row, col, val, n, k=128, w=8, max_p_bytes=64 * 128 * 4, f_hint=16
+    )
+    edge_fn, n_chunks, spec = plan_stream(plan)
+    n_pad = padded_rows_for_plan(plan)
+    x = np.random.default_rng(7).normal(size=(n_pad, 16)).astype(np.float32)
+    resident = spmm_streamed_sorted(
+        edge_fn, jnp.asarray(x), n_chunks, spec, interpret=True
+    )
+    d = str(tmp_path / "chunks")
+    save_plan_chunks(plan, d)
+    chunks, spec2, n2, n_nodes = sorted_chunks_from_dir(d)
+    assert (spec2, n2, n_nodes) == (spec, n_chunks, n)
+    hostfed = spmm_streamed_sorted_hostfed(
+        chunks, jnp.asarray(x), spec2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(resident), np.asarray(hostfed), rtol=1e-6, atol=1e-6
+    )
+    # re-iterable: a second pass (the backward's replay) works
+    hostfed2 = spmm_streamed_sorted_hostfed(
+        chunks, jnp.asarray(x), spec2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(hostfed), np.asarray(hostfed2), rtol=0, atol=0
+    )

@@ -252,15 +252,16 @@ def _onehot_kernel_base(wloc_ref, lrow_ref, base_ref, p_ref, o_ref, *, w: int):
     )
 
 
-def _reduce_superchunk(
-    plan: OneHotPlan, p, lrow, wloc, interpret: bool, base=None
-):
+def _reduce_call(p, lrow, wloc, *, k, w, w_sc, c_sc, interpret, base=None):
     """One Pallas call: [c_sc*k, F] products -> [w_sc*w, F] output rows.
 
     With ``base`` ([w_sc*w, F] f32), windows initialize from it instead
-    of zeros (fused accumulate — see :func:`_onehot_kernel_base`).
+    of zeros (fused accumulate — see :func:`_onehot_kernel_base`). Shared
+    by the resident-plan path (:func:`_spmm_onehot_impl`) and the sorted
+    edge-stream path (:mod:`textgcn_tpu.ops.streamed_sorted`), which
+    reduces each streamed chunk into a window range of its beyond-HBM
+    accumulator.
     """
-    k, w, w_sc, c_sc = plan.k, plan.w, plan.w_sc, plan.c_sc
     f_pad = p.shape[-1]
     # Mosaic block shapes: last two dims must be (8k, 128k)-aligned or match
     # the array — a unit middle dim satisfies that for the per-chunk row ids
@@ -339,8 +340,9 @@ def _spmm_onehot_impl(
 
     def one(col_s, val_s, lrow_s, wloc_s, base_s=None):
         p = xp[col_s] * val_s[:, None].astype(xp.dtype)
-        return _reduce_superchunk(
-            plan, p, lrow_s, wloc_s, interpret, base=base_s
+        return _reduce_call(
+            p, lrow_s, wloc_s, k=plan.k, w=plan.w, w_sc=plan.w_sc,
+            c_sc=plan.c_sc, interpret=interpret, base=base_s,
         )
 
     if plan.n_sc == 1:
