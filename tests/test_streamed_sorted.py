@@ -156,3 +156,62 @@ def test_hostfed_sorted_matches_resident(tmp_path):
     np.testing.assert_allclose(
         np.asarray(hostfed), np.asarray(hostfed2), rtol=0, atol=0
     )
+
+
+def test_segmented_gcn_train_step_on_sorted_stream():
+    """The segmented GCN train step driven by the SORTED stream (its
+    stream_fn hook) == the dense-operator autodiff oracle, f32 exact
+    path — the round-5 streamed-kernel upgrade composes with training."""
+    import jax
+    import optax
+
+    from textgcn_tpu.train.streamed import (
+        init_streamed,
+        make_streamed_train_step_segmented,
+    )
+
+    edge_fn, spec, n_pad = _lattice()
+    a = jnp.asarray(_lattice_matrix(edge_fn, spec, n_pad).toarray())
+    rng = np.random.default_rng(8)
+    f, h, c = 12, 6, 3
+    x = jnp.asarray(rng.normal(size=(n_pad, f)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n_pad).astype(np.int32))
+    mask = jnp.asarray((rng.random(n_pad) < 0.5).astype(np.float32))
+    params, opt, opt_state = init_streamed(jax.random.PRNGKey(0), f, h, c)
+
+    def stream_fn(v):
+        return spmm_streamed_sorted_multi(
+            edge_fn, v, N_CHUNKS, spec, chunks_per_dispatch=2,
+            interpret=True,
+        )[:, : v.shape[1]]
+
+    step = make_streamed_train_step_segmented(
+        None, n_pad, N_CHUNKS, stream_dtype=jnp.float32,
+        stream_fn=stream_fn,
+    )
+    p2, _, loss = step(
+        dict(params), opt_state, x, y, mask
+    )
+
+    def dense_loss(p):
+        s1 = jnp.dot(x, p["gc1"]["w"])
+        a1 = a @ s1
+        hh = jax.nn.relu(a1 + p["gc1"]["b"])
+        s2 = jnp.dot(hh, p["gc2"]["w"])
+        logits = a @ s2 + p["gc2"]["b"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.sum(mask)
+
+    params_d, opt_state_d = init_streamed(jax.random.PRNGKey(0), f, h, c)[
+        0
+    ], opt.init(params)
+    loss_d, grads = jax.value_and_grad(dense_loss)(params_d)
+    np.testing.assert_allclose(float(loss), float(loss_d), rtol=2e-4)
+    upd, _ = opt.update(grads, opt_state_d, params_d)
+    want = optax.apply_updates(params_d, upd)
+    for k in ("gc1", "gc2"):
+        np.testing.assert_allclose(
+            np.asarray(p2[k]["w"]), np.asarray(want[k]["w"]),
+            rtol=2e-3, atol=2e-4,
+        )

@@ -98,7 +98,10 @@ def gat_layer_onehot(
     the segment path (round-4 verdict weak #2: GAT was pinned to the
     segment kernel at ~23% of the gather wall).
     """
-    from textgcn_tpu.ops.pallas_attention import attention_spmm
+    from textgcn_tpu.ops.pallas_attention import (
+        attention_spmm,
+        edge_logit_base,
+    )
 
     h = (
         p["w"]
@@ -107,13 +110,11 @@ def gat_layer_onehot(
     )
     es = jnp.dot(h, p["a_src"], preferred_element_type=jnp.float32)
     ed = jnp.dot(h, p["a_dst"], preferred_element_type=jnp.float32)
-    rs = ag.row_slot.reshape(-1)
-    cs = ag.fwd.col.reshape(-1)
-    gs = jnp.take(es, rs, mode="fill", fill_value=0.0)
-    gd = jnp.take(ed, cs, mode="fill", fill_value=0.0)
-    e = jax.nn.leaky_relu(gs + gd, negative_slope)
-    e = e + jnp.log(ag.val_slot.reshape(-1))
-    out = attention_spmm(ag, e.reshape(ag.row_slot.shape), h, interpret)
+    e = jax.nn.leaky_relu(
+        edge_logit_base(ag, es, ed, interpret), negative_slope
+    )
+    e = e + jnp.log(ag.val_slot)
+    out = attention_spmm(ag, e, h, interpret)
     return out + p["b"]
 
 

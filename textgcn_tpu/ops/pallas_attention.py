@@ -75,7 +75,7 @@ def _stats_kernel(wloc_ref, lrow_ref, logit_ref, max_ref, sum_ref, *, w):
 
     k = lrow_ref.shape[-1]
     s = _iota_rows(w, k) == lrow_ref[0]
-    m = jnp.where(s, logit_ref[...], _NEG)  # [w, k]
+    m = jnp.where(s, logit_ref[0], _NEG)  # [w, k]
     chunk_max = jnp.max(m, axis=1, keepdims=True)  # [w, 1]
     old_max = max_ref[:, :1]
     new_max = jnp.maximum(old_max, chunk_max)
@@ -106,7 +106,7 @@ def _rowsum_kernel(wloc_ref, lrow_ref, v_ref, o_ref, *, w):
     k = lrow_ref.shape[-1]
     s = _iota_rows(w, k) == lrow_ref[0]
     contrib = jnp.sum(
-        jnp.where(s, v_ref[...], 0.0), axis=1, keepdims=True
+        jnp.where(s, v_ref[0], 0.0), axis=1, keepdims=True
     )
     o_ref[...] += contrib * jnp.ones_like(o_ref)
 
@@ -129,7 +129,7 @@ def _attn_agg_kernel(
     mx = max_ref[:, :1]
     shift = jnp.where(mx > _NEG / 2, mx, 0.0)
     inv = 1.0 / jnp.maximum(sum_ref[:, :1], 1e-30)
-    wt = jnp.where(s, jnp.exp(logit_ref[...] - shift) * inv, 0.0)
+    wt = jnp.where(s, jnp.exp(logit_ref[0] - shift) * inv, 0.0)
     o_ref[...] += jax.lax.dot(
         wt.astype(p_ref.dtype), p_ref[...],
         preferred_element_type=jnp.float32,
@@ -151,7 +151,7 @@ def _sddmm_kernel(wloc_ref, lrow_ref, g_ref, p_ref, u_ref, *, w):
     )
     u_ref[...] = jnp.sum(
         t * p_ref[...].astype(jnp.float32), axis=1
-    )[None, :]
+    )[None, None, :]
 
 
 def _grid(plan: OneHotPlan, sc: int):
@@ -169,7 +169,8 @@ def _scalar_stat_call(kernel, plan, args_builder, n_out, interpret):
         in_specs = [
             pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
         ] + [
-            pl.BlockSpec((1, k), lambda i, wloc: (i, 0)) for _ in extra
+            pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0))
+            for _ in extra
         ]
         out_shape = [
             jax.ShapeDtypeStruct((w_sc * w, 128), jnp.float32)
@@ -190,7 +191,11 @@ def _scalar_stat_call(kernel, plan, args_builder, n_out, interpret):
             grid_spec=grid_spec,
             out_shape=out_shape if n_out > 1 else out_shape[0],
             interpret=interpret,
-        )(wloc_s, lrow_s.reshape(c_sc, 1, k), *extra)
+        )(
+            wloc_s,
+            lrow_s.reshape(c_sc, 1, k),
+            *[a.reshape(c_sc, 1, k) for a in extra],
+        )
 
     if plan.n_sc == 1:
         return one(plan.lrow[0], plan.wloc[0], *args_builder(0))
@@ -244,7 +249,7 @@ def _attn_agg(plan: OneHotPlan, logits, mx, sm, x, interpret=False):
             grid=(c_sc,),
             in_specs=[
                 pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
-                pl.BlockSpec((1, k), lambda i, wloc: (i, 0)),
+                pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
                 pl.BlockSpec((w, 128), lambda i, wloc: (wloc[i], 0)),
                 pl.BlockSpec((w, 128), lambda i, wloc: (wloc[i], 0)),
                 pl.BlockSpec((k, f_pad), lambda i, wloc: (i, 0)),
@@ -262,7 +267,10 @@ def _attn_agg(plan: OneHotPlan, logits, mx, sm, x, interpret=False):
                 transcendentals=c_sc * w * k,
             ),
             interpret=interpret,
-        )(wloc_s, lrow_s.reshape(c_sc, 1, k), lg_s, mx_s, sm_s, p)
+        )(
+            wloc_s, lrow_s.reshape(c_sc, 1, k),
+            lg_s.reshape(c_sc, 1, k), mx_s, sm_s, p,
+        )
 
     if plan.n_sc == 1:
         y = one(
@@ -308,12 +316,14 @@ def sddmm_slots(plan: OneHotPlan, g, x, interpret=False):
                 pl.BlockSpec((w, f_pad), lambda i, wloc: (wloc[i], 0)),
                 pl.BlockSpec((k, f_pad), lambda i, wloc: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((1, k), lambda i, wloc: (i, 0)),
+            out_specs=pl.BlockSpec(
+                (1, 1, k), lambda i, wloc: (i, 0, 0)
+            ),
         )
         return pl.pallas_call(
             partial(_sddmm_kernel, w=w),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((c_sc, k), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((c_sc, 1, k), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * c_sc * k * w * f_pad + 2 * c_sc * k * f_pad,
                 bytes_accessed=c_sc * k * (f_pad * 2 + 4)
@@ -383,6 +393,11 @@ class AttentionGraph:
         val = np.asarray(val)
         if k is None:
             k = min(2048, choose_onehot_k(row, n_nodes, w=w))
+        # single-superchunk plans: the n_sc split pads chunk counts to the
+        # max superchunk (1.69x slots on R8 docword) and serializes the
+        # per-superchunk kernel calls; attention's slot streams are narrow
+        # enough that one superchunk fits comfortably
+        kw.setdefault("max_p_bytes", 4 << 30)
         fwd, fwd_dst = _plan_with_dst(row, col, val, n_nodes, k, w, **kw)
         bwd, bwd_dst = _plan_with_dst(col, row, val, n_nodes, k, w, **kw)
         n_slots_fwd = fwd.n_sc * fwd.c_sc * fwd.k
@@ -444,6 +459,42 @@ def _plan_with_dst(row, col, val, n_nodes, k, w, **kw):
     dst = np.empty(len(row64), dtype=np.int64)
     dst[order] = dst_sorted
     return plan, dst.astype(np.int32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def edge_logit_base(ag: AttentionGraph, es, ed, interpret=False):
+    """Per-slot ``es[row_slot] + ed[col_slot]`` with a SCATTER-FREE
+    backward: the cotangents are per-row / per-col segment sums of the
+    slot cotangent, which the plan layout computes with the Pallas
+    rowsum kernel (fwd plan for rows, transpose plan + slot permutation
+    for cols). Plain ``jnp.take`` autodiff would emit two E-element
+    unsorted scalar scatter-adds per layer — the dominant cost of the
+    first kernel-path GAT measurement (~140 ms each on R8 docword).
+    """
+    gs = jnp.take(es, ag.row_slot.reshape(-1), mode="fill", fill_value=0.0)
+    gd = jnp.take(
+        ed, ag.fwd.col.reshape(-1), mode="fill", fill_value=0.0
+    )
+    return (gs + gd).reshape(ag.row_slot.shape)
+
+
+def _elb_fwd(ag, es, ed, interpret):
+    return edge_logit_base(ag, es, ed, interpret), (ag, es.shape[0])
+
+
+def _elb_bwd(interpret, res, g):
+    ag, n = res
+    des = rowsum_slots(ag.fwd, g, interpret)[:n, 0]
+    g_bwd = jnp.take(
+        g.reshape(-1), ag.slot_perm, mode="fill", fill_value=0.0
+    )
+    ded = rowsum_slots(
+        ag.bwd, g_bwd.reshape(ag.bwd.n_sc, -1), interpret
+    )[:n, 0]
+    return None, des, ded
+
+
+edge_logit_base.defvjp(_elb_fwd, _elb_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -51,9 +51,9 @@ class TrainConfig:
     # run_experiment via apply_spmm_format before the Trainer is built.
     spmm: str = "auto"
     # model family (textgcn_tpu.models.MODELS): gcn | gat | sgc | sgc_pre |
-    # appnp. GAT runs its attention softmax over the COO edge stream, so it
-    # requires the segment graph format; the others train through any SpMM
-    # format.
+    # appnp. GAT runs on the segment COO stream or the attention-kernel
+    # plan layout (spmm onehot/hybrid -> AttentionGraph); the others train
+    # through any SpMM format.
     model: str = "gcn"
 
 
@@ -397,12 +397,15 @@ class Trainer:
                 f"unknown model {model!r}; choose one of {sorted(MODELS)}"
             )
         from textgcn_tpu.graph.structs import SparseGraph
+        from textgcn_tpu.ops.pallas_attention import AttentionGraph
 
-        if model == "gat" and not isinstance(self.graph, SparseGraph):
+        if model == "gat" and not isinstance(
+            self.graph, (SparseGraph, AttentionGraph)
+        ):
             raise ValueError(
-                "GAT requires the segment (COO) graph format — run with "
-                "spmm='segment' so the attention softmax sees the edge "
-                "stream"
+                "GAT needs the segment (COO) format or the attention-"
+                "kernel AttentionGraph (spmm='onehot'/'hybrid'); got "
+                f"{type(self.graph).__name__}"
             )
         return MODELS[model]
 
