@@ -450,20 +450,35 @@ def docword_perf(dataset: str = "R8") -> dict:
 
 
 def streamed_scale_perf(
-    n: int = 10_000_000, deg: int = 50, f: int = 128, chunk: int = 4_000_000
+    n: int = 10_000_000,
+    deg: int = 50,
+    f: int = 128,
+    chunk: int = 4_000_000,
+    hbm_gbps: float = 383.0,
 ) -> dict:
-    """Driver-captured BASELINE scale config (10M nodes / 500M edges) on one
-    chip via the edge-streaming SpMM — the 6 GB COO edge list never exists
-    in HBM (ops/spmm.py spmm_streamed; analysis in benchmarks/RESULTS.md)."""
+    """Driver-captured BASELINE scale config (~10M nodes / 500M edges) on
+    one chip. Headline: the SORTED (plan-layout) stream — one random
+    gather per edge + MXU one-hot reduce with sequential window writes
+    (ops/streamed_sorted.py; round-4 verdict weak #1). The legacy
+    unsorted gather+scatter stream is timed alongside for the delta, and
+    the gather wall is probed AT SHAPE (chunk-sized mostly-unique random
+    rows from the actual 10M-row bf16 feature table — the small
+    oversubscribed-table probe in ``roofline_probe`` reads ~2x faster
+    and would flatter nothing honestly here).
+    """
     import gc
 
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
-    from synthetic_large import make_random_edge_fn
+    from synthetic_large import lattice_config, make_random_edge_fn
 
     from textgcn_tpu.ops.spmm import spmm_streamed
+    from textgcn_tpu.ops.streamed_sorted import (
+        make_lattice_edge_fn,
+        spmm_streamed_sorted,
+    )
 
     # the streamed pass needs ~10 GB of HBM headroom; training-phase
     # leftovers (dense topic Â, docword graph formats, jit executables'
@@ -472,33 +487,83 @@ def streamed_scale_perf(
     for a in jax.live_arrays():
         a.delete()
     jax.clear_caches()
-    e = n * deg
-    n_chunks = -(-e // chunk)
-    x = jax.jit(lambda k: jax.random.normal(k, (n, f), dtype=jnp.bfloat16))(
-        jax.random.PRNGKey(42)
-    )
-    edge_fn = make_random_edge_fn(n, chunk)
-    out = spmm_streamed(edge_fn, x, n, n_chunks)  # compile + warmup
-    float(jnp.sum(out))  # forced readback: block_until_ready lies via tunnel
+
+    n_chunks_s, w_sc, w, cell_e, k = lattice_config(n, deg)
+    edge_fn_s, spec = make_lattice_edge_fn(n_chunks_s, w_sc, w, cell_e, k)
+    n_pad = n_chunks_s * spec.rows_per_chunk
+    e_sorted = n_chunks_s * spec.chunk_edges
+    x = jax.jit(
+        lambda kk: jax.random.normal(kk, (n_pad, f), dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(42))
+
+    # at-shape gather wall: chunk-sized batches of mostly-unique random
+    # rows from the actual feature table (PRNG index cost included, ~2%)
+    chunk_g = spec.chunk_edges
+
+    def g_body(i, acc, xx):
+        kk = jax.random.fold_in(jax.random.PRNGKey(9), i)
+        col = jax.random.randint(
+            kk, (chunk_g,), 0, n_pad, dtype=jnp.int32
+        )
+        return acc + jnp.sum(xx[col].astype(jnp.float32), axis=0)
+
+    dtg, _ = time_chained(g_body, jnp.zeros((f,)), 64, consts=(x,))
+    gather_rows_per_s = chunk_g / dtg
+
+    out = spmm_streamed_sorted(edge_fn_s, x, n_chunks_s, spec)
+    float(jnp.sum(out))  # compile+warmup (block_until_ready lies via tunnel)
     out.delete()  # two accumulators may not coexist (5.1 GB each)
     t0 = time.perf_counter()
-    out = spmm_streamed(edge_fn, x, n, n_chunks)
+    out = spmm_streamed_sorted(edge_fn_s, x, n_chunks_s, spec)
     float(jnp.sum(out))
-    dt = time.perf_counter() - t0
+    dt_sorted = time.perf_counter() - t0
     out.delete()
+
+    # legacy unsorted stream (2 random row-ops/edge) for the delta, on
+    # the same padded node count / feature table
+    e_u = n_pad * deg
+    n_chunks_u = -(-e_u // chunk)
+    edge_fn_u = make_random_edge_fn(n_pad, chunk)
+    out = spmm_streamed(edge_fn_u, x, n_pad, n_chunks_u)
+    float(jnp.sum(out))
+    out.delete()
+    t0 = time.perf_counter()
+    out = spmm_streamed(edge_fn_u, x, n_pad, n_chunks_u)
+    float(jnp.sum(out))
+    dt_uns = time.perf_counter() - t0
+    out.delete()
+
+    f_pad = ((f + 127) // 128) * 128
+    bound_s = e_sorted / gather_rows_per_s + (
+        2.0 * e_sorted * f_pad * 2
+    ) / (hbm_gbps * 1e9)
     res = {
-        "n_nodes": n,
-        "n_edges": e,
+        "n_nodes": n_pad,
+        "n_edges": e_sorted,
         "f": f,
-        "full_pass_s": dt,
-        "edges_per_s": e / dt,
-        "bound_model": "2 random-row ops per edge (gather + scatter-add) "
-        "at the gather wall",
+        "full_pass_s": dt_sorted,
+        "edges_per_s": e_sorted / dt_sorted,
+        "bound_model": "1 random-row gather per edge at the AT-SHAPE "
+        "gather wall + bf16 product stream write+read at HBM BW (the "
+        "one-hot reduce's window writes are sequential and amortized)",
+        "at_shape_gather_rows_per_s": gather_rows_per_s,
+        "bound_s": bound_s,
+        "fraction_of_bound": bound_s / dt_sorted,
+        "unsorted_pass_s": dt_uns,
+        "unsorted_edges_per_s": e_u / dt_uns,
+        "sorted_vs_unsorted_speedup": (e_sorted / dt_sorted)
+        / (e_u / dt_uns),
     }
     log(
-        f"[bench] streamed 10M/500M scale config: {dt:.1f} s per full "
-        f"A@X pass ({e / dt / 1e6:.0f}M edges/s) on one chip"
+        f"[bench] streamed 10M/500M scale config (SORTED plan-layout): "
+        f"{dt_sorted:.1f} s per full A@X pass "
+        f"({e_sorted / dt_sorted / 1e6:.0f}M edges/s) = "
+        f"{res['fraction_of_bound'] * 100:.0f}% of the at-shape bound "
+        f"(gather wall {gather_rows_per_s / 1e6:.0f}M rows/s); unsorted "
+        f"legacy stream {dt_uns:.1f} s "
+        f"({e_u / dt_uns / 1e6:.0f}M edges/s)"
     )
+    x.delete()
     return res
 
 
@@ -520,52 +585,60 @@ def streamed_mesh_scale_perf(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from textgcn_tpu.parallel.sharded import make_mesh
-    from textgcn_tpu.parallel.streamed import (
-        make_random_bucket_edge_fn,
-        spmm_streamed_mesh_multi,
-    )
 
     gc.collect()
     for a in jax.live_arrays():
         a.delete()
     jax.clear_caches()
-    e = n * deg
-    n_chunks = -(-e // chunk)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    from synthetic_large import lattice_config
+
+    from textgcn_tpu.ops.streamed_sorted import make_lattice_edge_fn
+    from textgcn_tpu.parallel.streamed import (
+        spmm_streamed_mesh_sorted_multi,
+    )
+
+    n_chunks, w_sc, w, cell_e, k = lattice_config(n, deg)
+    lat_fn, spec = make_lattice_edge_fn(n_chunks, w_sc, w, cell_e, k)
+    n_pad = n_chunks * spec.rows_per_chunk
+    e = n_chunks * spec.chunk_edges
     mesh = make_mesh(1)
-    edge_fn = make_random_bucket_edge_fn(n, chunk)
-    dims = (n, 1, n_chunks)
+
+    def bucket_fn(p, q, j):  # P=1: the single-chip lattice IS the bucket
+        del p, q
+        return lat_fn(j)
+
+    dims = (n_pad, 1, n_chunks)
     sh = NamedSharding(mesh, P("nodes", None))
     x = jax.jit(
-        lambda k: jax.random.normal(k, (n, f), dtype=jnp.bfloat16),
+        lambda kk: jax.random.normal(kk, (n_pad, f), dtype=jnp.bfloat16),
         out_shardings=sh,
     )(jax.random.PRNGKey(7))
-    # 64 chunks/dispatch ≈ 256M edge-ops ≈ 6 s — well under the tunneled
-    # worker's execution-time ceiling while amortizing dispatch overhead
-    # (16/dispatch measured 3% slower than the single-chip monolith)
-    out = spmm_streamed_mesh_multi(
-        edge_fn, x, mesh, dims, chunks_per_dispatch=64
+    out = spmm_streamed_mesh_sorted_multi(
+        bucket_fn, x, mesh, dims, spec, chunks_per_dispatch=64
     )
     float(jnp.sum(out))  # compile + warmup (forced readback: tunnel)
     out.delete()
     t0 = time.perf_counter()
-    out = spmm_streamed_mesh_multi(
-        edge_fn, x, mesh, dims, chunks_per_dispatch=64
+    out = spmm_streamed_mesh_sorted_multi(
+        bucket_fn, x, mesh, dims, spec, chunks_per_dispatch=64
     )
     float(jnp.sum(out))
     dt = time.perf_counter() - t0
     out.delete()
     x.delete()
     res = {
-        "n_nodes": n,
+        "n_nodes": n_pad,
         "n_edges": e,
         "f": f,
         "n_shards": 1,
         "full_pass_s": dt,
         "edges_per_s_per_shard": e / dt,
+        "kernel": "sorted plan-layout ring (spmm_streamed_mesh_sorted)",
     }
     log(
-        f"[bench] streamed MESH scale config (P=1): {dt:.1f} s per full "
-        f"A@X pass ({e / dt / 1e6:.0f}M edges/s per shard)"
+        f"[bench] streamed MESH scale config (P=1, SORTED): {dt:.1f} s "
+        f"per full A@X pass ({e / dt / 1e6:.0f}M edges/s per shard)"
     )
     return res
 
@@ -587,30 +660,43 @@ def streamed_sgc_train_perf(
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
-    from synthetic_large import make_random_edge_fn
-
     from textgcn_tpu.models.sgc import sgc_init
     from textgcn_tpu.train.streamed import (
         make_streamed_sgc_train_step_segmented,
-        symmetrize_edge_fn,
     )
 
     gc.collect()
     for a in jax.live_arrays():
         a.delete()
     jax.clear_caches()
-    e_dir = n * deg
-    n_chunks = -(-e_dir // chunk)
-    e_sym = 2 * e_dir
-    sym_fn = symmetrize_edge_fn(make_random_edge_fn(n, chunk), n_chunks)
-    x = jax.jit(lambda k: jax.random.normal(k, (n, f), dtype=jnp.bfloat16))(
-        jax.random.PRNGKey(0)
+    from synthetic_large import lattice_config
+
+    from textgcn_tpu.ops.streamed_sorted import (
+        make_lattice_edge_fn,
+        spmm_streamed_sorted_multi,
     )
+
+    # symmetric lattice at nnz ~= 2*n*deg (the old sym_fn's edge count)
+    n_chunks, w_sc, w, cell_e, k_lat = lattice_config(n, 2 * deg)
+    lat_fn, spec = make_lattice_edge_fn(n_chunks, w_sc, w, cell_e, k_lat)
+    n_pad = n_chunks * spec.rows_per_chunk
+    e_sym = n_chunks * spec.chunk_edges
+
+    def stream_fn(v):
+        return spmm_streamed_sorted_multi(
+            lat_fn, v, n_chunks, spec, chunks_per_dispatch=16
+        )
+
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (n_pad, f), dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
     y = jax.jit(
-        lambda k: jax.random.randint(k, (n,), 0, c, dtype=jnp.int32)
+        lambda k: jax.random.randint(k, (n_pad,), 0, c, dtype=jnp.int32)
     )(jax.random.PRNGKey(1))
     mask = jax.jit(
-        lambda k: (jax.random.uniform(k, (n,)) < 0.5).astype(jnp.float32)
+        lambda k: (jax.random.uniform(k, (n_pad,)) < 0.5).astype(
+            jnp.float32
+        )
     )(jax.random.PRNGKey(2))
     import optax
 
@@ -618,7 +704,8 @@ def streamed_sgc_train_perf(
     opt = optax.adam(0.02)
     opt_state = opt.init(params)
     step = make_streamed_sgc_train_step_segmented(
-        sym_fn, n, 2 * n_chunks, chunks_per_dispatch=16
+        None, n_pad, n_chunks, chunks_per_dispatch=16,
+        stream_fn=stream_fn,
     )
     params, opt_state, loss = step(params, opt_state, x, y, mask)
     float(loss)
@@ -628,7 +715,7 @@ def streamed_sgc_train_perf(
     dt = time.perf_counter() - t0
     res = {
         "model": "sgc",
-        "n_nodes": n,
+        "n_nodes": n_pad,
         "n_edges_sym": e_sym,
         "f": f,
         "k": 2,
@@ -668,40 +755,52 @@ def streamed_train_perf(
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
-    from synthetic_large import make_random_edge_fn
+    from synthetic_large import lattice_config
 
+    from textgcn_tpu.ops.streamed_sorted import (
+        make_lattice_edge_fn,
+        spmm_streamed_sorted_multi,
+    )
     from textgcn_tpu.train.streamed import (
         init_streamed,
         make_streamed_train_step_segmented,
-        symmetrize_edge_fn,
     )
 
     gc.collect()
     for a in jax.live_arrays():
         a.delete()
     jax.clear_caches()
-    e_dir = n * deg
-    n_chunks = -(-e_dir // chunk)
-    e_sym = 2 * e_dir
-    edge_fn = make_random_edge_fn(n, chunk)
-    sym_fn = symmetrize_edge_fn(edge_fn, n_chunks)
-    x = jax.jit(lambda k: jax.random.normal(k, (n, f), dtype=jnp.bfloat16))(
-        jax.random.PRNGKey(0)
-    )
+    # symmetric sorted lattice at nnz ~= 2*n*deg (the legacy sym stream's
+    # edge count) — every streamed pass now rides the plan-layout kernel
+    n_chunks, w_sc, w, cell_e, k_lat = lattice_config(n, 2 * deg)
+    lat_fn, spec = make_lattice_edge_fn(n_chunks, w_sc, w, cell_e, k_lat)
+    n_pad = n_chunks * spec.rows_per_chunk
+    e_sym = n_chunks * spec.chunk_edges
+
+    def stream_fn(v):
+        return spmm_streamed_sorted_multi(
+            lat_fn, v, n_chunks, spec, chunks_per_dispatch=16
+        )
+
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (n_pad, f), dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
     y = jax.jit(
-        lambda k: jax.random.randint(k, (n,), 0, c, dtype=jnp.int32)
+        lambda k: jax.random.randint(k, (n_pad,), 0, c, dtype=jnp.int32)
     )(jax.random.PRNGKey(1))
     mask = jax.jit(
-        lambda k: (jax.random.uniform(k, (n,)) < 0.5).astype(jnp.float32)
+        lambda k: (jax.random.uniform(k, (n_pad,)) < 0.5).astype(
+            jnp.float32
+        )
     )(jax.random.PRNGKey(2))
     params, _, opt_state = init_streamed(jax.random.PRNGKey(3), f, h, c)
     # the SEGMENTED step: the monolithic one-dispatch step crashes the
     # tunneled TPU worker purely by exceeding its execution-time ceiling
-    # at this edge count (duration, not memory: the same shapes pass at
-    # 100M edges and fail at 250M+) — spmm_streamed_multi bounds every
-    # dispatch to 16 chunks (~64M edge-ops) with a donated accumulator
+    # at this edge count (duration, not memory) — every dispatch is
+    # bounded to 16 sorted chunks with a donated accumulator
     step = make_streamed_train_step_segmented(
-        sym_fn, n, 2 * n_chunks, chunks_per_dispatch=16
+        None, n_pad, n_chunks, chunks_per_dispatch=16,
+        stream_fn=stream_fn,
     )
     params, opt_state, loss = step(params, opt_state, x, y, mask)
     float(loss)  # compile + warmup readback
@@ -710,7 +809,7 @@ def streamed_train_perf(
     loss_v = float(loss)
     dt = time.perf_counter() - t0
     res = {
-        "n_nodes": n,
+        "n_nodes": n_pad,
         "n_edges_sym": e_sym,
         "f": f,
         "hidden": h,

@@ -258,3 +258,41 @@ def test_attention_multi_superchunk():
         want, np.sort(row), np.asarray(att)[:, None] * x[col[order]]
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2, atol=3e-2)
+
+
+def test_gat_attention_fused_grads_match_oracle():
+    """The fused gat_attention op (logits built in-kernel) == the
+    segment-path math, values AND (es, ed, x) gradients."""
+    from textgcn_tpu.ops.pallas_attention import gat_attention
+
+    (row, col, val), ag = _make(n=60, e=500, seed=20)
+    n = ag.n_nodes
+    rng = np.random.default_rng(21)
+    es = rng.normal(size=n).astype(np.float32)
+    ed = rng.normal(size=n).astype(np.float32)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    t = rng.normal(size=(n, 16)).astype(np.float32)
+    order = np.argsort(row, kind="stable")
+    srow = jnp.asarray(np.sort(row))
+    scol = jnp.asarray(col[order])
+    sval = jnp.asarray(val[order].astype(np.float32))
+
+    def oracle(a, b, xx):
+        from textgcn_tpu.models.gat import segment_softmax
+
+        e = jax.nn.leaky_relu(a[srow] + b[scol], 0.2) + jnp.log(sval)
+        att = segment_softmax(e, srow, n)
+        out = spmm_coo_segment_ew(srow, scol, att, xx, n, True)
+        return jnp.sum(out * t)
+
+    def fused(a, b, xx):
+        return jnp.sum(gat_attention(ag, a, b, xx, 0.2, True) * t)
+
+    args = (jnp.asarray(es), jnp.asarray(ed), jnp.asarray(x))
+    f_or, g_or = jax.value_and_grad(oracle, argnums=(0, 1, 2))(*args)
+    f_fu, g_fu = jax.value_and_grad(fused, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(f_fu), float(f_or), rtol=2e-2)
+    for a, b in zip(g_fu, g_or):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-2
+        )

@@ -98,10 +98,7 @@ def gat_layer_onehot(
     the segment path (round-4 verdict weak #2: GAT was pinned to the
     segment kernel at ~23% of the gather wall).
     """
-    from textgcn_tpu.ops.pallas_attention import (
-        attention_spmm,
-        edge_logit_base,
-    )
+    from textgcn_tpu.ops.pallas_attention import gat_attention
 
     h = (
         p["w"]
@@ -110,11 +107,7 @@ def gat_layer_onehot(
     )
     es = jnp.dot(h, p["a_src"], preferred_element_type=jnp.float32)
     ed = jnp.dot(h, p["a_dst"], preferred_element_type=jnp.float32)
-    e = jax.nn.leaky_relu(
-        edge_logit_base(ag, es, ed, interpret), negative_slope
-    )
-    e = e + jnp.log(ag.val_slot)
-    out = attention_spmm(ag, e, h, interpret)
+    out = gat_attention(ag, es, ed, h, negative_slope, interpret)
     return out + p["b"]
 
 

@@ -91,6 +91,52 @@ def _stats_kernel(wloc_ref, lrow_ref, logit_ref, max_ref, sum_ref, *, w):
     max_ref[...] = new_max * jnp.ones_like(max_ref)
 
 
+def _stats_logits_kernel(
+    wloc_ref, lrow_ref, gd_ref, lv_ref, es_ref, max_ref, sum_ref,
+    logit_ref, *, w, slope
+):
+    """Fused logit construction + online softmax stats.
+
+    The es side of the GAT logit (``es[row_slot]``) needs NO gather: the
+    window's es rows sit resident in VMEM (``es_ref``, lane-replicated)
+    and each slot selects its row with the one-hot mask — the measured
+    56 ms/layer of [slots]-scalar gathers in the unfused path vanishes.
+    Emits the per-slot logits for the aggregation kernel and the
+    backward (leaky slope recoverable from ``logit - logval``).
+    """
+    i = pl.program_id(0)
+    is_new = jnp.logical_or(
+        i == 0, wloc_ref[jnp.maximum(i - 1, 0)] != wloc_ref[i]
+    )
+
+    @pl.when(is_new)
+    def _():
+        max_ref[...] = jnp.full_like(max_ref, _NEG)
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+
+    k = lrow_ref.shape[-1]
+    s = _iota_rows(w, k) == lrow_ref[0]
+    es_sel = jnp.sum(
+        jnp.where(s, es_ref[:, :1], 0.0), axis=0, keepdims=True
+    )  # [1, k] — one row selected per slot (phantoms 0)
+    base = es_sel + gd_ref[0]
+    lg = jnp.where(base >= 0, base, slope * base) + lv_ref[0]
+    logit_ref[...] = lg[None]
+    m = jnp.where(s, lg, _NEG)
+    chunk_max = jnp.max(m, axis=1, keepdims=True)
+    old_max = max_ref[:, :1]
+    new_max = jnp.maximum(old_max, chunk_max)
+    shift = jnp.where(new_max > _NEG / 2, new_max, 0.0)
+    rescale = jnp.exp(jnp.where(old_max > _NEG / 2, old_max - shift, _NEG))
+    contrib = jnp.sum(
+        jnp.where(s, jnp.exp(m - shift), 0.0), axis=1, keepdims=True
+    )
+    sum_ref[...] = (
+        sum_ref[:, :1] * rescale + contrib
+    ) * jnp.ones_like(sum_ref)
+    max_ref[...] = new_max * jnp.ones_like(max_ref)
+
+
 def _rowsum_kernel(wloc_ref, lrow_ref, v_ref, o_ref, *, w):
     """Masked per-row sum of per-slot scalars (no max/exp) — the S-term
     reduce of the attention backward."""
@@ -208,6 +254,56 @@ def _scalar_stat_call(kernel, plan, args_builder, n_out, interpret):
     return tuple(
         jnp.concatenate([o[j] for o in outs], axis=0) for j in range(n_out)
     )
+
+
+def stats_logits(plan: OneHotPlan, es_rep, gd, logval, slope,
+                 interpret=False):
+    """Fused per-slot logit construction + softmax stats (see
+    :func:`_stats_logits_kernel`). ``es_rep`` is [n_sc*w_sc*w, 128]
+    lane-replicated source scores; ``gd``/``logval`` are per-slot
+    [n_sc, c_sc*k]. Returns ``(logits, mx, sm)``."""
+    k, w, w_sc, c_sc = plan.k, plan.w, plan.w_sc, plan.c_sc
+    gd3 = gd.reshape(plan.n_sc, c_sc, 1, k)
+    lv3 = logval.reshape(plan.n_sc, c_sc, 1, k)
+    es3 = es_rep.reshape(plan.n_sc, w_sc * w, 128)
+
+    def one(lrow_s, wloc_s, gd_s, lv_s, es_s):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(c_sc,),
+            in_specs=[
+                pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
+                pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
+                pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
+                pl.BlockSpec((w, 128), lambda i, wloc: (wloc[i], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((w, 128), lambda i, wloc: (wloc[i], 0)),
+                pl.BlockSpec((w, 128), lambda i, wloc: (wloc[i], 0)),
+                pl.BlockSpec((1, 1, k), lambda i, wloc: (i, 0, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            partial(_stats_logits_kernel, w=w, slope=slope),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((w_sc * w, 128), jnp.float32),
+                jax.ShapeDtypeStruct((w_sc * w, 128), jnp.float32),
+                jax.ShapeDtypeStruct((c_sc, 1, k), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            wloc_s, lrow_s.reshape(c_sc, 1, k), gd_s, lv_s, es_s
+        )
+
+    outs = [
+        one(plan.lrow[i], plan.wloc[i], gd3[i], lv3[i], es3[i])
+        for i in range(plan.n_sc)
+    ]
+    mx = jnp.concatenate([o[0] for o in outs], axis=0)
+    sm = jnp.concatenate([o[1] for o in outs], axis=0)
+    lg = jnp.stack([o[2] for o in outs]).reshape(plan.n_sc, -1)
+    return lg, mx, sm
 
 
 def softmax_stats(plan: OneHotPlan, logits, interpret=False):
@@ -459,6 +555,83 @@ def _plan_with_dst(row, col, val, n_nodes, k, w, **kw):
     dst = np.empty(len(row64), dtype=np.int64)
     dst[order] = dst_sorted
     return plan, dst.astype(np.int32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gat_attention(ag: AttentionGraph, es, ed, x, slope=0.2,
+                  interpret=False):
+    """The WHOLE sparse side of a GAT layer as one fused op:
+    ``out[r] = sum_e softmax_r(leaky(es[r] + ed[col_e]) + log(val_e))
+    * x[col_e]``, differentiable in (es, ed, x).
+
+    Forward: one random [slots] gather (``ed[col]``) + the fused
+    stats+logits kernel (es resident per window — no row-side gather) +
+    the weighted aggregation kernel. Backward: transpose-plan
+    aggregation for dx, Pallas SDDMM + rowsum for the logit cotangent,
+    rowsum reductions for des/ded — no scatter anywhere.
+    """
+    out, _ = _gat_attention_fwd_impl(ag, es, ed, x, slope, interpret)
+    return out
+
+
+def _gat_attention_fwd_impl(ag, es, ed, x, slope, interpret):
+    plan = ag.fwd
+    n_rows = plan.n_sc * plan.w_sc * plan.w
+    es_pad = jnp.pad(es, (0, n_rows - es.shape[0]))
+    es_rep = jnp.broadcast_to(es_pad[:, None], (n_rows, 128))
+    gd = jnp.take(
+        ed, plan.col.reshape(-1), mode="fill", fill_value=0.0
+    ).reshape(plan.n_sc, -1)
+    logval = jnp.log(plan.val)
+    logits, mx, sm = stats_logits(
+        plan, es_rep, gd, logval, slope, interpret
+    )
+    out = _attn_agg(plan, logits, mx, sm, x, interpret)
+    return out, (ag, logits, logval, x, mx, sm)
+
+
+def _gat_fwd(ag, es, ed, x, slope, interpret):
+    return _gat_attention_fwd_impl(ag, es, ed, x, slope, interpret)
+
+
+def _gat_bwd(slope, interpret, res, g):
+    from textgcn_tpu.ops.pallas_onehot import _spmm_onehot_impl
+
+    ag, logits, logval, x, mx, sm = res
+    n = x.shape[0]
+    wt = _weights_from_stats(ag, logits, mx, sm)
+    bwd_val = jnp.take(wt, ag.slot_perm, mode="fill", fill_value=0.0)
+    bwd_plan = dataclasses.replace(
+        ag.bwd, val=bwd_val.reshape(ag.bwd.n_sc, -1)
+    )
+    dx = _spmm_onehot_impl(bwd_plan, g.astype(x.dtype), interpret)
+    u = sddmm_slots(ag.fwd, g, x, interpret).reshape(-1)
+    wu = wt * u
+    srow = rowsum_slots(
+        ag.fwd, wu.reshape(ag.fwd.n_sc, -1), interpret
+    )[:, 0]
+    sg = jnp.take(srow, ag.row_slot.reshape(-1), mode="fill",
+                  fill_value=0.0)
+    dlog = wt * (u - sg)
+    # leaky' from the stored logits: logit - logval = leaky(base), whose
+    # sign equals base's (leaky is sign-preserving); NaN compares (phantom
+    # -inf - -inf) select the slope branch where dlog is 0 anyway
+    pos = (logits.reshape(-1) - logval.reshape(-1)) >= 0
+    dbase = dlog * jnp.where(pos, 1.0, slope)
+    db3 = dbase.reshape(ag.fwd.n_sc, -1)
+    des = rowsum_slots(ag.fwd, db3, interpret)[:n, 0]
+    db_bwd = jnp.take(
+        dbase, ag.slot_perm, mode="fill", fill_value=0.0
+    )
+    ded = rowsum_slots(
+        ag.bwd, db_bwd.reshape(ag.bwd.n_sc, -1), interpret
+    )[:n, 0]
+    return None, des, ded, dx.astype(x.dtype)
+
+
+gat_attention.defvjp(_gat_fwd, _gat_bwd)
+
+gat_attention = jax.jit(gat_attention, static_argnums=(4, 5))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
