@@ -599,32 +599,45 @@ def _gat_bwd(slope, interpret, res, g):
 
     ag, logits, logval, x, mx, sm = res
     n = x.shape[0]
-    wt = _weights_from_stats(ag, logits, mx, sm)
-    bwd_val = jnp.take(wt, ag.slot_perm, mode="fill", fill_value=0.0)
-    bwd_plan = dataclasses.replace(
-        ag.bwd, val=bwd_val.reshape(ag.bwd.n_sc, -1)
+    rs = ag.row_slot.reshape(-1)
+    # paired gathers share one granule-bound pass: the row-op count, not
+    # the byte width, is the wall (measured ~28 ms per [slots] scalar
+    # gather on R8 docword), so stacking (max, sum) halves the cost
+    mx_sm = jnp.stack([mx[:, 0], sm[:, 0]], axis=1)  # [rows, 2]
+    st = jnp.take(mx_sm, rs, axis=0, mode="fill", fill_value=0.0)
+    mxg, smg = st[:, 0], st[:, 1]
+    lg = logits.reshape(-1)
+    shift = jnp.where(mxg > _NEG / 2, mxg, 0.0)
+    wt = jnp.where(
+        lg > _NEG / 2,
+        jnp.exp(lg - shift) / jnp.maximum(smg, 1e-30),
+        0.0,
     )
-    dx = _spmm_onehot_impl(bwd_plan, g.astype(x.dtype), interpret)
     u = sddmm_slots(ag.fwd, g, x, interpret).reshape(-1)
     wu = wt * u
     srow = rowsum_slots(
         ag.fwd, wu.reshape(ag.fwd.n_sc, -1), interpret
     )[:, 0]
-    sg = jnp.take(srow, ag.row_slot.reshape(-1), mode="fill",
-                  fill_value=0.0)
+    sg = jnp.take(srow, rs, mode="fill", fill_value=0.0)
     dlog = wt * (u - sg)
     # leaky' from the stored logits: logit - logval = leaky(base), whose
     # sign equals base's (leaky is sign-preserving); NaN compares (phantom
     # -inf - -inf) select the slope branch where dlog is 0 anyway
     pos = (logits.reshape(-1) - logval.reshape(-1)) >= 0
     dbase = dlog * jnp.where(pos, 1.0, slope)
-    db3 = dbase.reshape(ag.fwd.n_sc, -1)
-    des = rowsum_slots(ag.fwd, db3, interpret)[:n, 0]
-    db_bwd = jnp.take(
-        dbase, ag.slot_perm, mode="fill", fill_value=0.0
+    des = rowsum_slots(
+        ag.fwd, dbase.reshape(ag.fwd.n_sc, -1), interpret
+    )[:n, 0]
+    # one stacked slot-permutation gather moves BOTH per-edge streams the
+    # transpose side needs (attention weights for dx, dbase for ded)
+    wb = jnp.stack([wt, dbase], axis=1)  # [slots, 2]
+    moved = jnp.take(wb, ag.slot_perm, axis=0, mode="fill", fill_value=0.0)
+    bwd_plan = dataclasses.replace(
+        ag.bwd, val=moved[:, 0].reshape(ag.bwd.n_sc, -1)
     )
+    dx = _spmm_onehot_impl(bwd_plan, g.astype(x.dtype), interpret)
     ded = rowsum_slots(
-        ag.bwd, db_bwd.reshape(ag.bwd.n_sc, -1), interpret
+        ag.bwd, moved[:, 1].reshape(ag.bwd.n_sc, -1), interpret
     )[:n, 0]
     return None, des, ded, dx.astype(x.dtype)
 
