@@ -671,3 +671,60 @@ def test_hostfed_stream_matches_dense(tmp_path):
             np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
             err_msg=str(ka),
         )
+
+
+def test_streamed_sage_tape_matches_dense():
+    """The tape-built streamed GraphSAGE step (4th beyond-HBM family) ==
+    the dense-operator autodiff oracle, f32 exact path."""
+    import optax
+
+    from textgcn_tpu.models.sage import sage_init
+    from textgcn_tpu.train.streamed import (
+        make_streamed_sage_train_step_segmented,
+        symmetrize_edge_fn,
+    )
+
+    n, n_chunks = 64, 4
+    edge_fn, a_sym = _toy_stream(n=n, n_chunks=n_chunks)
+    sym_fn = symmetrize_edge_fn(edge_fn, n_chunks)
+    rng = np.random.RandomState(11)
+    f, h, c = 10, 6, 3
+    x = jnp.asarray(rng.randn(n, f), jnp.float32)
+    y = jnp.asarray(rng.randint(0, c, n), jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), jnp.float32)
+    params = sage_init(jax.random.PRNGKey(2), f, h, c)
+    opt = optax.adam(0.02)
+    opt_state = opt.init(params)
+    step = make_streamed_sage_train_step_segmented(
+        sym_fn, n, 2 * n_chunks, stream_dtype=jnp.float32,
+        chunks_per_dispatch=3,
+    )
+    p2, _, loss = step(dict(params), opt_state, x, y, mask)
+
+    ad = jnp.asarray(a_sym, jnp.float32)
+
+    def dense_loss(p):
+        n1 = ad @ jnp.dot(x, p["sage1"]["w_neigh"])
+        hh = jax.nn.relu(
+            jnp.dot(x, p["sage1"]["w_self"]) + n1 + p["sage1"]["b"]
+        )
+        n2 = ad @ jnp.dot(hh, p["sage2"]["w_neigh"])
+        logits = (
+            jnp.dot(hh, p["sage2"]["w_self"]) + n2 + p["sage2"]["b"]
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.sum(mask)
+
+    loss_d, grads = jax.value_and_grad(dense_loss)(params)
+    np.testing.assert_allclose(float(loss), float(loss_d), rtol=2e-4)
+    upd, _ = opt.update(grads, opt.init(params), params)
+    import optax as _ox
+
+    want = _ox.apply_updates(params, upd)
+    for lyr in ("sage1", "sage2"):
+        for leaf in ("w_self", "w_neigh", "b"):
+            np.testing.assert_allclose(
+                np.asarray(p2[lyr][leaf]), np.asarray(want[lyr][leaf]),
+                rtol=2e-3, atol=2e-4,
+            )

@@ -430,132 +430,85 @@ def make_streamed_sharded_train_step(
     return step
 
 
-def make_streamed_sharded_train_step_segmented(
+def make_streamed_sharded_step_segmented(
+    family: str,
     edge_fn,
     mesh: Mesh,
     dims,
     edge_args=(),
-    optimizer=None,
-    lr: float = 0.02,
-    stream_dtype=jnp.bfloat16,
     chunks_per_dispatch: int = 32,
+    sorted_spec=None,
+    **family_kw,
 ):
-    """The sharded streamed GCN train step in BOUNDED dispatches.
+    """Any streamed family's segmented train step ON the mesh.
 
-    Delegates the whole manual-backward step structure to
-    :func:`textgcn_tpu.train.streamed.make_streamed_train_step_segmented`
-    via its pluggable ``stream_fn``: the dense head/tail pieces are the
-    SAME jitted functions (row-sharded inputs — GSPMD shards the matmuls
-    and reduces the loss/grads globally), and every streamed pass goes
-    through :func:`spmm_streamed_mesh_multi`'s ring. This is the
-    BASELINE "multi-host 10M-node/500M-edge" path: per-shard memory
-    O(N/P·F), per-dispatch duration bounded, edge list never resident.
+    Delegates the whole tape-built step structure to the single-chip
+    factory registry (:data:`STREAMED_SEGMENTED_FACTORIES`) via its
+    pluggable ``stream_fn``: the dense pieces are the SAME jitted
+    functions (row-sharded inputs — GSPMD shards the matmuls and reduces
+    the loss/grads globally), and every streamed pass rides the ring —
+    :func:`spmm_streamed_mesh_multi` for (row, col, val) bucket streams,
+    or :func:`spmm_streamed_mesh_sorted_multi` when ``sorted_spec`` is
+    given (plan-layout buckets). This is the BASELINE "multi-host
+    10M-node/500M-edge" path: per-shard memory O(N/P·F), per-dispatch
+    duration bounded, edge list never resident. ``family_kw`` passes
+    family knobs through (``k=``, ``alpha=``, ``optimizer=``, ...).
     """
-    from textgcn_tpu.train.streamed import (
-        make_streamed_train_step_segmented as _base,
-    )
+    from textgcn_tpu.train.streamed import STREAMED_SEGMENTED_FACTORIES
 
-    def stream_fn(v):
-        return spmm_streamed_mesh_multi(
-            edge_fn, v, mesh, dims, edge_args,
-            chunks_per_dispatch=chunks_per_dispatch,
-        )
+    factory = STREAMED_SEGMENTED_FACTORIES[family]
+
+    if sorted_spec is None:
+
+        def stream_fn(v):
+            return spmm_streamed_mesh_multi(
+                edge_fn, v, mesh, dims, edge_args,
+                chunks_per_dispatch=chunks_per_dispatch,
+            )
+
+    else:
+
+        def stream_fn(v):
+            return spmm_streamed_mesh_sorted_multi(
+                edge_fn, v, mesh, dims, sorted_spec, edge_args,
+                chunks_per_dispatch=chunks_per_dispatch,
+            )
 
     rps, n_shards, n_chunks = dims
-    return _base(
+    return factory(
         None,
         rps * n_shards,
         n_chunks,
-        optimizer=optimizer,
-        lr=lr,
-        stream_dtype=stream_dtype,
         chunks_per_dispatch=chunks_per_dispatch,
         stream_fn=stream_fn,
+        **family_kw,
+    )
+
+
+def make_streamed_sharded_train_step_segmented(
+    edge_fn, mesh, dims, edge_args=(), **kw
+):
+    """Sharded streamed GCN (see the generic factory above)."""
+    return make_streamed_sharded_step_segmented(
+        "gcn", edge_fn, mesh, dims, edge_args, **kw
     )
 
 
 def make_streamed_sharded_sgc_train_step_segmented(
-    edge_fn,
-    mesh: Mesh,
-    dims,
-    edge_args=(),
-    k: int = None,
-    optimizer=None,
-    lr: float = 0.02,
-    stream_dtype=jnp.bfloat16,
-    chunks_per_dispatch: int = 32,
+    edge_fn, mesh, dims, edge_args=(), **kw
 ):
-    """Sharded streamed SGC train step in bounded dispatches — the second
-    model family at beyond-HBM scale on the mesh (round-3 verdict weak
-    #4). Same delegation pattern as the GCN variant: the single-chip SGC
-    segmented factory's dense head/tail run GSPMD-sharded, every
-    propagation rides :func:`spmm_streamed_mesh_multi`'s ring.
-    """
-    from textgcn_tpu.train.streamed import (
-        make_streamed_sgc_train_step_segmented as _base,
-    )
-
-    def stream_fn(v):
-        return spmm_streamed_mesh_multi(
-            edge_fn, v, mesh, dims, edge_args,
-            chunks_per_dispatch=chunks_per_dispatch,
-        )
-
-    rps, n_shards, n_chunks = dims
-    return _base(
-        None,
-        rps * n_shards,
-        n_chunks,
-        k=k,
-        optimizer=optimizer,
-        lr=lr,
-        stream_dtype=stream_dtype,
-        chunks_per_dispatch=chunks_per_dispatch,
-        stream_fn=stream_fn,
+    """Sharded streamed SGC (see the generic factory above)."""
+    return make_streamed_sharded_step_segmented(
+        "sgc", edge_fn, mesh, dims, edge_args, **kw
     )
 
 
 def make_streamed_sharded_appnp_train_step_segmented(
-    edge_fn,
-    mesh: Mesh,
-    dims,
-    edge_args=(),
-    alpha: float = None,
-    k: int = None,
-    optimizer=None,
-    lr: float = 0.02,
-    stream_dtype=jnp.bfloat16,
-    chunks_per_dispatch: int = 32,
+    edge_fn, mesh, dims, edge_args=(), **kw
 ):
-    """Sharded streamed APPNP train step in bounded dispatches — the
-    third model family at beyond-HBM scale on the mesh. Same delegation
-    pattern as the GCN/SGC variants: the single-chip APPNP segmented
-    factory's dense MLP pieces run GSPMD-sharded, every PPR propagation
-    (k forward + k reverse-chain passes) rides
-    :func:`spmm_streamed_mesh_multi`'s ring.
-    """
-    from textgcn_tpu.train.streamed import (
-        make_streamed_appnp_train_step_segmented as _base,
-    )
-
-    def stream_fn(v):
-        return spmm_streamed_mesh_multi(
-            edge_fn, v, mesh, dims, edge_args,
-            chunks_per_dispatch=chunks_per_dispatch,
-        )
-
-    rps, n_shards, n_chunks = dims
-    return _base(
-        None,
-        rps * n_shards,
-        n_chunks,
-        alpha=alpha,
-        k=k,
-        optimizer=optimizer,
-        lr=lr,
-        stream_dtype=stream_dtype,
-        chunks_per_dispatch=chunks_per_dispatch,
-        stream_fn=stream_fn,
+    """Sharded streamed APPNP (see the generic factory above)."""
+    return make_streamed_sharded_step_segmented(
+        "appnp", edge_fn, mesh, dims, edge_args, **kw
     )
 
 
