@@ -309,7 +309,111 @@ def kernel_pass_perf(pre, probe: dict, f: int = 200, reps: int = 16) -> dict:
             f"{rec['fraction_of_bound'] * 100:.0f}% of bound "
             f"({rec['bound_model']})"
         )
+    # Pallas SDDMM (plan layout): u_s = g[row_s].x[col_s] — the kernel the
+    # BASELINE north star names ("Pallas kernels for SpMM and SDDMM"),
+    # wired as the dval backward of learnable-edge SpMM and the attention
+    # backward (ops/pallas_attention.py). Row side VMEM-resident; the col
+    # side is the same single random gather per edge the one-hot SpMM pays
+    try:
+        import numpy as np
+
+        from textgcn_tpu.ops.pallas_attention import (
+            AttentionGraph,
+            sddmm_slots,
+        )
+
+        ne = pre.graph.n_edges
+        ag = AttentionGraph.from_coo(
+            np.asarray(pre.graph.row)[:ne],
+            np.asarray(pre.graph.col)[:ne],
+            np.asarray(pre.graph.val)[:ne],
+            pre.graph.n_nodes,
+        )
+        xg = jax.jit(
+            lambda k: jax.random.normal(k, (n, f), jnp.float32)
+        )(jax.random.PRNGKey(5))
+        interp = jax.default_backend() != "tpu"
+
+        def sddmm_step(i, v, ag_):
+            u = sddmm_slots(ag_.fwd, v, v, interp)
+            return v + 1e-20 * jnp.sum(u)
+
+        dt, _ = time_chained(sddmm_step, xg, reps, consts=(ag,))
+        bound_t = e / gather
+        out["sddmm"] = {
+            "pass_ms": dt * 1e3,
+            "edges_per_s": e / dt,
+            "bound_model": "random-row gather wall (1 row/edge; the g "
+            "row side is window-resident in VMEM)",
+            "bound_ms": bound_t * 1e3,
+            "fraction_of_bound": bound_t / dt,
+        }
+        log(
+            f"[bench] sddmm pass: {dt * 1e3:.1f} ms "
+            f"({e / dt / 1e6:.0f}M edges/s) = "
+            f"{bound_t / dt * 100:.0f}% of bound (gather wall)"
+        )
+        xg.delete()
+        del ag
+    except Exception as exc:
+        log(f"[bench] sddmm section failed: {exc!r}")
     x.delete()
+    return out
+
+
+def gat_docword_perf(pre) -> dict:
+    """GAT epoch time on the R8 doc-word graph: the attention-kernel path
+    (--spmm hybrid -> AttentionGraph, ops/pallas_attention.py) vs the
+    segment path (round-4 verdict weak #2: GAT was pinned to the segment
+    kernel). Epoch = one train step (fwd+bwd+Adam) + one val eval, scan-
+    blocked — the same definition as the GCN epoch numbers."""
+    import jax
+
+    from textgcn_tpu.train.prepare import apply_attention_format
+    from textgcn_tpu.train.trainer import TrainConfig, Trainer
+
+    out = {}
+    for name in ("hybrid", "segment"):
+        data = (
+            apply_attention_format(pre, degree_sort=True)
+            if name == "hybrid"
+            else pre
+        )
+        labels = data.labels
+
+        def fit(n_epochs):
+            cfg = TrainConfig(
+                n_hidden=200, max_epoch=n_epochs, early_stopping=1000,
+                dropout=0.5, seed=0, epoch_block=5, model="gat",
+            )
+            t = Trainer(
+                data.graph, data.features, labels.target,
+                labels.train_idx, labels.test_idx,
+                len(labels.label_names), config=cfg,
+            )
+            t0 = time.perf_counter()
+            t.fit(verbose=False)
+            return t, time.perf_counter() - t0
+
+        fit(5)  # compile
+        t, dt = fit(15)
+        res = t.test()
+        out[name] = {
+            "s_per_epoch": dt / 15.0,
+            "test_acc": float(res["acc"]),
+            "final_train_loss": float(t.history[-1]["train_loss"]),
+        }
+        log(
+            f"[bench] GAT docword epoch ({name}): {dt / 15 * 1e3:.0f} ms "
+            f"(acc={res['acc']:.4f})"
+        )
+    out["speedup"] = (
+        out["segment"]["s_per_epoch"] / out["hybrid"]["s_per_epoch"]
+    )
+    log(
+        f"[bench] GAT kernel-path speedup vs segment: "
+        f"{out['speedup']:.2f}x"
+    )
     return out
 
 
@@ -424,6 +528,20 @@ def docword_perf(dataset: str = "R8") -> dict:
             "mesh_kernel": "16 chained passes of the sharded bucket "
             "layouts through the Pallas kernels on a 1-device mesh, one "
             "dispatch (per-shard rate on real hardware)",
+            "sddmm": "16 chained plan-layout SDDMM passes (u_s = "
+            "g[row_s].x[col_s]) in one dispatch; bound = 1 random "
+            "gather/edge at the probe gather rate",
+            "gat_epoch": "GAT train epoch (train step + val eval, "
+            "5-epoch scan blocks) on the kernel path (AttentionGraph) vs "
+            "the segment path; 15 epochs timed after a compile fit",
+            "streamed_scale": "one full sorted (plan-layout) streamed "
+            "A@X pass at ~10M nodes/500M edges; bound = 1 random "
+            "gather/edge at the AT-SHAPE gather wall (chunk-sized "
+            "mostly-unique random rows from the actual 10M-row bf16 "
+            "table — the small-table shifted-index probe reads ~2x "
+            "faster than unique-row gathers and is NOT used for this "
+            "bound) + bf16 product stream write+read at HBM BW; the "
+            "legacy unsorted gather+scatter pass is timed alongside",
         },
         "roofline": probe,
         "kernel_pass": kernel_pass,
@@ -510,11 +628,12 @@ def streamed_scale_perf(
     dtg, _ = time_chained(g_body, jnp.zeros((f,)), 64, consts=(x,))
     gather_rows_per_s = chunk_g / dtg
 
-    out = spmm_streamed_sorted(edge_fn_s, x, n_chunks_s, spec)
+    interp = jax.default_backend() != "tpu"  # CPU smoke tests interpret
+    out = spmm_streamed_sorted(edge_fn_s, x, n_chunks_s, spec, interp)
     float(jnp.sum(out))  # compile+warmup (block_until_ready lies via tunnel)
     out.delete()  # two accumulators may not coexist (5.1 GB each)
     t0 = time.perf_counter()
-    out = spmm_streamed_sorted(edge_fn_s, x, n_chunks_s, spec)
+    out = spmm_streamed_sorted(edge_fn_s, x, n_chunks_s, spec, interp)
     float(jnp.sum(out))
     dt_sorted = time.perf_counter() - t0
     out.delete()
@@ -614,14 +733,17 @@ def streamed_mesh_scale_perf(
         lambda kk: jax.random.normal(kk, (n_pad, f), dtype=jnp.bfloat16),
         out_shardings=sh,
     )(jax.random.PRNGKey(7))
+    interp = jax.default_backend() != "tpu"
     out = spmm_streamed_mesh_sorted_multi(
-        bucket_fn, x, mesh, dims, spec, chunks_per_dispatch=64
+        bucket_fn, x, mesh, dims, spec, chunks_per_dispatch=64,
+        interpret=interp,
     )
     float(jnp.sum(out))  # compile + warmup (forced readback: tunnel)
     out.delete()
     t0 = time.perf_counter()
     out = spmm_streamed_mesh_sorted_multi(
-        bucket_fn, x, mesh, dims, spec, chunks_per_dispatch=64
+        bucket_fn, x, mesh, dims, spec, chunks_per_dispatch=64,
+        interpret=interp,
     )
     float(jnp.sum(out))
     dt = time.perf_counter() - t0
@@ -682,9 +804,12 @@ def streamed_sgc_train_perf(
     n_pad = n_chunks * spec.rows_per_chunk
     e_sym = n_chunks * spec.chunk_edges
 
+    interp = jax.default_backend() != "tpu"
+
     def stream_fn(v):
         return spmm_streamed_sorted_multi(
-            lat_fn, v, n_chunks, spec, chunks_per_dispatch=16
+            lat_fn, v, n_chunks, spec, chunks_per_dispatch=16,
+            interpret=interp,
         )
 
     x = jax.jit(
@@ -777,9 +902,12 @@ def streamed_train_perf(
     n_pad = n_chunks * spec.rows_per_chunk
     e_sym = n_chunks * spec.chunk_edges
 
+    interp = jax.default_backend() != "tpu"
+
     def stream_fn(v):
         return spmm_streamed_sorted_multi(
-            lat_fn, v, n_chunks, spec, chunks_per_dispatch=16
+            lat_fn, v, n_chunks, spec, chunks_per_dispatch=16,
+            interpret=interp,
         )
 
     x = jax.jit(
@@ -912,11 +1040,19 @@ def main() -> int:
     try:
         perf = docword_perf("R8")
         try:
-            perf["streamed_scale"] = streamed_scale_perf()
-            gw = perf["roofline"]["gather_rows_per_s"]
-            perf["streamed_scale"]["fraction_of_bound"] = perf[
-                "streamed_scale"
-            ]["edges_per_s"] / (gw / 2.0)
+            if time.time() - t0 > 2100:
+                raise TimeoutError("wall-clock budget spent")
+            perf["gat_epoch"] = gat_docword_perf(
+                __import__(
+                    "textgcn_tpu.train.prepare", fromlist=["x"]
+                ).prepare_docword_data("R8", data_root="data")
+            )
+        except Exception as e:
+            log(f"[bench] GAT epoch section failed: {e!r}")
+        try:
+            perf["streamed_scale"] = streamed_scale_perf(
+                hbm_gbps=perf["roofline"]["hbm_stream_gbps"]
+            )
         except Exception as e:
             log(f"[bench] streamed scale section failed: {e!r}")
         try:

@@ -149,13 +149,15 @@ def run_sorted_stream(args) -> int:
         lambda kk: jax.random.normal(kk, (n_pad, args.f), dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(42))
 
+    interp = jax.default_backend() != "tpu"
+
     def one_pass():
         if args.seg_chunks:
             return spmm_streamed_sorted_multi(
                 edge_fn, x, n_chunks, spec,
-                chunks_per_dispatch=args.seg_chunks,
+                chunks_per_dispatch=args.seg_chunks, interpret=interp,
             )
-        return spmm_streamed_sorted(edge_fn, x, n_chunks, spec)
+        return spmm_streamed_sorted(edge_fn, x, n_chunks, spec, interp)
 
     out = one_pass()  # compile + warmup
     checksum = float(jnp.sum(out))
