@@ -54,11 +54,13 @@ def main() -> int:
     assert jax.device_count() == 4 * args.nproc
     print(process_summary(), file=sys.stderr, flush=True)
 
-    loss = run_global_step(global_mesh())
+    mesh = global_mesh()
+    loss = run_global_step(mesh)
+    s_ring, s_sorted = run_global_streams(mesh)
 
     if jax.process_index() == 0:
         with open(args.out, "w", encoding="utf-8") as f:
-            f.write(f"{loss!r}\n")
+            f.write(f"{loss!r},{s_ring!r},{s_sorted!r}\n")
     # clean shutdown so the coordinator releases the barrier
     jax.distributed.shutdown()
     return 0
@@ -132,6 +134,74 @@ def run_global_step(mesh) -> float:
     )
     _, _, loss = step(params, opt_state, xs, ys, ws, jax.random.PRNGKey(1))
     return float(loss)
+
+
+def run_global_streams(mesh):
+    """The streamed ppermute ring (PRNG buckets) AND the SORTED
+    (Pallas plan-layout) ring over real halo buckets, both on ``mesh`` —
+    round-4 verdict weak #5: these paths had only ever run on the
+    single-process virtual mesh. Returns replicated global checksums so
+    the multi-process job can be asserted equal to the single-process
+    control."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from textgcn_tpu.graph.structs import SparseGraph
+    from textgcn_tpu.parallel.halo import partition_rows_halo
+    from textgcn_tpu.parallel.streamed import (
+        halo_sorted_bucket_stream,
+        make_random_bucket_edge_fn,
+        spmm_streamed_mesh,
+        spmm_streamed_mesh_sorted,
+    )
+
+    n_shards = mesh.devices.size
+
+    def put(arr, spec):
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+        )
+
+    gsum = jax.jit(jnp.sum)
+
+    # PRNG bucket ring (no edge_args): ppermute + chunk loops across the
+    # process boundary
+    rps = 16
+    edge_fn = make_random_bucket_edge_fn(rps, chunk_e=32, seed=5)
+    dims = (rps, n_shards, 3)
+    x1 = np.random.RandomState(7).randn(rps * n_shards, 8).astype(
+        np.float32
+    )
+    out1 = spmm_streamed_mesh(edge_fn, put(x1, P("nodes", None)), mesh,
+                              dims)
+    s_ring = float(gsum(out1))
+
+    # SORTED ring: real symmetric graph -> halo buckets -> per-bucket
+    # one-hot plans, Pallas reduce (interpret on CPU) inside shard_map
+    rng = np.random.RandomState(3)
+    n, e = 128, 600
+    row = rng.randint(0, n, e)
+    col = rng.randint(0, n, e)
+    val = rng.rand(e)
+    g = SparseGraph.from_coo(
+        np.concatenate([row, col]), np.concatenate([col, row]),
+        np.concatenate([val, val]), n, pad_to_multiple=8,
+    )
+    hg = partition_rows_halo(g, n_shards, pad_edges_to_multiple=8)
+    s_fn, s_chunks, s_spec, s_args = halo_sorted_bucket_stream(
+        hg, k=128, w=8
+    )
+    s_args = tuple(put(a, P("nodes")) for a in s_args)
+    x2 = np.random.RandomState(9).randn(hg.n_pad, 128).astype(np.float32)
+    out2 = spmm_streamed_mesh_sorted(
+        s_fn, put(x2, P("nodes", None)), mesh,
+        (hg.rows_per_shard, n_shards, s_chunks), s_spec, s_args,
+        jax.default_backend() != "tpu",
+    )
+    s_sorted = float(gsum(out2))
+    return s_ring, s_sorted
 
 
 if __name__ == "__main__":
