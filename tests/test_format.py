@@ -279,3 +279,72 @@ def test_cost_model_auto_routes_by_structure():
     g_small = SparseGraph.from_coo([0, 1], [1, 0], [1.0, 1.0], 500)
     cont, _ = convert_graph(g_small, "auto")
     assert isinstance(cont, DenseGraph)
+
+
+def test_auto_prices_streaming_beyond_hbm():
+    """round-4 verdict #8: `auto` knows the streamed format — a graph
+    whose resident bytes bust the budget routes to the sorted stream,
+    and the container's host-fed SpMM matches scipy."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    from textgcn_tpu.graph.format import (
+        MachineModel,
+        choose_format,
+        convert_graph,
+        estimate_format_costs,
+    )
+    from textgcn_tpu.ops.streamed_sorted import SortedStreamGraph
+
+    rng = np.random.RandomState(0)
+    n, e = 400, 5000
+    row = rng.randint(0, n, e)
+    col = rng.randint(0, n, e)
+    val = rng.rand(e)
+    g = SparseGraph.from_coo(row, col, val, n)
+    tiny = MachineModel(resident_bytes_budget=1024)  # force beyond-HBM
+    assert choose_format(g, f=16, mm=tiny) == "streamed"
+    costs = estimate_format_costs(g, f=16, mm=tiny)
+    assert set(costs) == {"streamed"}
+    # a fitting graph never picks streamed
+    assert choose_format(g, f=16, mm=MachineModel()) != "streamed"
+
+    gg, perm = convert_graph(g, "streamed", f=16)
+    assert perm is None and isinstance(gg, SortedStreamGraph)
+    x = rng.randn(n, 16).astype(np.float32)
+    got = np.asarray(gg.spmm(jnp.asarray(x), interpret=True))
+    a = sp.coo_matrix((val, (row, col)), shape=(n, n)).tocsr()
+    # SparseGraph.from_coo coalesces duplicates; compare against it
+    er = np.asarray(g.row)[: g.n_edges]
+    ec = np.asarray(g.col)[: g.n_edges]
+    ev = np.asarray(g.val)[: g.n_edges]
+    want = sp.coo_matrix((ev, (er, ec)), shape=(n, n)).tocsr() @ x
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_machine_model_from_artifact(tmp_path):
+    import json
+
+    from textgcn_tpu.graph.format import MachineModel
+
+    art = {
+        "roofline": {
+            "hbm_stream_gbps": 383.0,
+            "gather_rows_per_s": 1.8e8,
+        },
+        "kernel_pass": {
+            "segment": {"fraction_of_bound": 0.23},
+            "onehot": {"fraction_of_bound": 0.81},
+        },
+        "streamed_scale": {"at_shape_gather_rows_per_s": 8.8e7},
+    }
+    p = tmp_path / "perf_bench.json"
+    p.write_text(json.dumps(art))
+    mm = MachineModel.from_artifact(str(p))
+    assert mm.hbm_gbps == 383.0
+    assert mm.gather_rows_per_s == 1.8e8
+    assert mm.eff_onehot == 0.81
+    assert mm.gather_unique_rows_per_s == 8.8e7
+    # missing artifact -> library defaults, no raise
+    mm2 = MachineModel.from_artifact(str(tmp_path / "missing.json"))
+    assert mm2.gather_rows_per_s == MachineModel().gather_rows_per_s

@@ -69,7 +69,7 @@ def test_hybrid_spmm_matches_scipy_oracle():
     r, c, v, n = _powerlaw_coo()
     perm, h = reorder_and_build(
         r, c, v, n, symmetric=True, bm=64, bn=64, min_nnz=16,
-        onehot_kwargs=dict(k=128, w=64),
+        onehot_kwargs=dict(k=128, w=64), store_bf16=False,
     )
     assert 0.0 < h.dense_fraction < 1.0, h.dense_fraction
     f = 48
@@ -87,7 +87,7 @@ def test_hybrid_spmm_permutation_roundtrip():
     r, c, v, n = _powerlaw_coo(seed=5)
     perm, h = reorder_and_build(
         r, c, v, n, symmetric=True, bm=64, bn=64, min_nnz=16,
-        onehot_kwargs=dict(k=128, w=64),
+        onehot_kwargs=dict(k=128, w=64), store_bf16=False,
     )
     f = 16
     x = np.random.RandomState(7).randn(n, f).astype(np.float32)
@@ -103,7 +103,7 @@ def test_hybrid_vjp_symmetric():
     r, c, v, n = _powerlaw_coo(seed=9)
     perm, h = reorder_and_build(
         r, c, v, n, symmetric=True, bm=64, bn=64, min_nnz=16,
-        onehot_kwargs=dict(k=128, w=64),
+        onehot_kwargs=dict(k=128, w=64), store_bf16=False,
     )
     f = 8
     x = jnp.asarray(np.random.RandomState(1).randn(n, f).astype(np.float32))
@@ -125,7 +125,10 @@ def test_hybrid_all_dense_edge_case():
     r = np.repeat(np.arange(8), 8)
     c = np.tile(np.arange(8), 8)
     v = np.ones(64)
-    h = HybridGraph.from_coo(r, c, v, n, symmetric=False, bm=32, bn=32, min_nnz=1)
+    h = HybridGraph.from_coo(
+        r, c, v, n, symmetric=False, bm=32, bn=32, min_nnz=1,
+        store_bf16=False,
+    )
     assert h.rest is None and h.dense_fraction == 1.0
     x = np.random.RandomState(0).randn(n, 8).astype(np.float32)
     want = sp.coo_matrix((v, (r, c)), shape=(n, n)) @ x

@@ -46,7 +46,9 @@ from textgcn_tpu.graph.structs import (
     SparseGraph,
 )
 
-SPMM_FORMATS = ("auto", "segment", "dense", "bsr", "onehot", "hybrid")
+SPMM_FORMATS = (
+    "auto", "segment", "dense", "bsr", "onehot", "hybrid", "streamed"
+)
 
 # Below this, the [N, N] dense materialization is ≤ ~0.4 GB and one MXU
 # matmul beats any sparse path on TPU. R8/mr/20ng graphs all sit under it.
@@ -64,6 +66,10 @@ class MachineModel:
 
     hbm_gbps: float = 400.0  # streaming bandwidth
     gather_rows_per_s: float = 175e6  # 512 B-granule random row reads
+    # mostly-UNIQUE random rows gather ~2x slower than the oversubscribed
+    # probe pattern (round-5 at-shape measurement: 88M vs 183M rows/s on
+    # the same chip) — the streamed paths see unique-ish rows
+    gather_unique_rows_per_s: float = 88e6
     grid_step_s: float = 1.0e-6  # Pallas per-grid-step overhead
     mxu_f32_flops: float = 45e12  # dense f32 matmul rate
     # measured end-to-end efficiency of each kernel vs its naive bound
@@ -71,6 +77,46 @@ class MachineModel:
     eff_onehot: float = 0.52
     eff_hybrid_bsr: float = 0.85
     dense_bytes_budget: int = 2 << 30  # cap on the [N, N] f32 table
+    # device bytes a RESIDENT graph format may claim before the auto pick
+    # routes to edge streaming (HBM minus activations/optimizer headroom)
+    resident_bytes_budget: int = 12 << 30
+
+    @staticmethod
+    def from_artifact(path: str = None) -> "MachineModel":
+        """Constants remeasured from the last driver bench run
+        (results/perf_bench.json roofline + kernel fractions) when the
+        artifact exists; library defaults otherwise (round-4 advisor:
+        the constants were frozen v5e numbers with remeasurement left to
+        the caller)."""
+        import json
+        import os
+
+        path = path or os.path.join("results", "perf_bench.json")
+        try:
+            with open(path, "r", encoding="utf-8") as fh:
+                perf = json.load(fh)
+            roof = perf["roofline"]
+            kp = perf.get("kernel_pass", {})
+
+            def eff(name, default):
+                return float(
+                    kp.get(name, {}).get("fraction_of_bound", default)
+                )
+
+            kw = dict(
+                hbm_gbps=float(roof["hbm_stream_gbps"]),
+                gather_rows_per_s=float(roof["gather_rows_per_s"]),
+                eff_segment=eff("segment", 0.24),
+                eff_onehot=eff("onehot", 0.52),
+            )
+            ss = perf.get("streamed_scale", {})
+            if "at_shape_gather_rows_per_s" in ss:
+                kw["gather_unique_rows_per_s"] = float(
+                    ss["at_shape_gather_rows_per_s"]
+                )
+            return MachineModel(**kw)
+        except Exception:
+            return MachineModel()
 
 
 def estimate_format_costs(
@@ -79,6 +125,16 @@ def estimate_format_costs(
     mm: MachineModel = MachineModel(),
     min_nnz: int = 24,
 ) -> Dict[str, float]:
+    costs, _ = _estimate_with_perm(g, f=f, mm=mm, min_nnz=min_nnz)
+    return costs
+
+
+def _estimate_with_perm(
+    g: SparseGraph,
+    f: int = 200,
+    mm: MachineModel = MachineModel(),
+    min_nnz: int = 24,
+):
     """Estimated seconds per ``Â @ x`` pass for each eligible format.
 
     dense/segment/onehot are closed-form; hybrid prices the graph's OWN
@@ -95,6 +151,19 @@ def estimate_format_costs(
     f_pad = -(-f // 128) * 128
     bw = mm.hbm_gbps * 1e9
     costs: Dict[str, float] = {}
+    # beyond-HBM gate: resident formats need the edge structures on chip
+    # (COO ~12 B/edge; plan/tile layouts comparable) next to [N, f] f32
+    # activations — past the budget only streaming is eligible
+    resident_bytes = 12 * e + 8 * n * f_pad
+    if resident_bytes > mm.resident_bytes_budget:
+        # sorted (plan-layout) streamed pass: 1 unique-row gather per
+        # edge + the bf16 product stream (ops/streamed_sorted.py). Only
+        # offered beyond the budget: resident kernels beat streaming
+        # whenever the graph fits, so eligibility IS the decision.
+        costs["streamed"] = e / mm.gather_unique_rows_per_s + (
+            2.0 * e * f_pad * 2
+        ) / bw
+        return costs, None
     dense_bytes = 4 * n * n
     if dense_bytes <= mm.dense_bytes_budget:
         costs["dense"] = max(
@@ -124,18 +193,31 @@ def estimate_format_costs(
     costs["hybrid"] = t_bsr + rest / (
         mm.gather_rows_per_s * mm.eff_onehot
     )
-    return costs
+    # perm is returned for reuse by convert_graph (advisor r4: the
+    # degree sort was recomputed when hybrid won)
+    return costs, perm
 
 
 def choose_format(
     g: SparseGraph,
     f: int = 200,
-    mm: MachineModel = MachineModel(),
+    mm: MachineModel = None,
 ) -> str:
     """Cheapest estimated format for this graph (round-3 verdict stretch:
-    ``auto`` used to be a bare node-count threshold)."""
-    costs = estimate_format_costs(g, f=f, mm=mm)
-    return min(costs, key=costs.get)
+    ``auto`` used to be a bare node-count threshold; round-5: streaming
+    is priced too, so beyond-HBM graphs route to the sorted stream, and
+    the constants come from the last bench artifact when present).
+    Resident formats always beat the streamed estimate when they fit —
+    streaming only wins by eligibility, which is exactly its role."""
+    fmt, _ = _choose_with_aux(g, f=f, mm=mm)
+    return fmt
+
+
+def _choose_with_aux(g, f=200, mm=None):
+    mm = mm or MachineModel.from_artifact()
+    costs, perm = _estimate_with_perm(g, f=f, mm=mm)
+    fmt = min(costs, key=costs.get)
+    return fmt, (perm if fmt == "hybrid" else None)
 
 
 def convert_graph(
@@ -144,25 +226,29 @@ def convert_graph(
     *,
     symmetric: bool = True,
     dense_max_nodes: int = DENSE_MAX_NODES,
+    f: int = 200,
+    mm: MachineModel = None,
 ) -> Tuple[object, Optional[np.ndarray]]:
     """SparseGraph → (graph container, node permutation or None).
 
     ``symmetric=True`` asserts value-symmetry of the matrix (true for every
     sym-normalized Â this framework trains on); it enables the
-    transpose-free VJPs of the bsr/onehot/hybrid kernels.
+    transpose-free VJPs of the bsr/onehot/hybrid kernels. ``f`` is the
+    feature width the auto cost model prices passes at (advisor r4: it
+    was hardcoded to 200 regardless of the caller's width).
     """
     if fmt not in SPMM_FORMATS:
         raise ValueError(
             f"unknown spmm format {fmt!r}; choose one of {SPMM_FORMATS}"
         )
+    perm_hint = None
     if fmt == "auto":
         # tiny graphs skip the cost model (dense always wins there and the
         # model's host pass is the only cost); everything else is priced
-        fmt = (
-            "dense"
-            if g.n_nodes <= dense_max_nodes
-            else choose_format(g)
-        )
+        if g.n_nodes <= dense_max_nodes:
+            fmt = "dense"
+        else:
+            fmt, perm_hint = _choose_with_aux(g, f=f, mm=mm)
     if fmt == "segment":
         return g, None
     if fmt == "dense":
@@ -171,6 +257,15 @@ def convert_graph(
     row = np.asarray(g.row)[:e]
     col = np.asarray(g.col)[:e]
     val = np.asarray(g.val)[:e]
+    if fmt == "streamed":
+        from textgcn_tpu.ops.streamed_sorted import SortedStreamGraph
+
+        return (
+            SortedStreamGraph.from_coo(
+                row, col, val, g.n_nodes, symmetric=symmetric
+            ),
+            None,
+        )
     if fmt == "bsr":
         return (
             BlockSparseGraph.from_coo(
@@ -188,10 +283,11 @@ def convert_graph(
             None,
         )
     # hybrid: degree-sort then split into dense tiles + residual stream
+    # (the cost model's permutation is reused when it already computed it)
     from textgcn_tpu.graph.reorder import reorder_and_build
 
     perm, hybrid = reorder_and_build(
-        row, col, val, g.n_nodes, symmetric=symmetric
+        row, col, val, g.n_nodes, symmetric=symmetric, perm=perm_hint
     )
     return hybrid, perm
 

@@ -229,15 +229,17 @@ class HybridGraph:
 
 
 def reorder_and_build(
-    row, col, val, n_nodes, symmetric: bool = False, **kwargs
+    row, col, val, n_nodes, symmetric: bool = False, perm=None, **kwargs
 ):
     """Degree-sort, then build the hybrid layout on the permuted pattern.
 
     Returns ``(perm, hybrid)`` with ``perm[old] = new``. The caller must
     apply the same permutation to features/labels: SpMM computes
-    ``P Â Pᵀ (P x)`` = ``P (Â x)``.
+    ``P Â Pᵀ (P x)`` = ``P (Â x)``. A precomputed ``perm`` (e.g. from the
+    auto cost model's pricing pass) skips the host degree sort.
     """
-    perm = degree_sort_permutation(row, col, n_nodes)
+    if perm is None:
+        perm = degree_sort_permutation(row, col, n_nodes)
     r2, c2, v2 = permute_coo(row, col, val, perm)
     return perm, HybridGraph.from_coo(
         r2, c2, v2, n_nodes, symmetric=symmetric, **kwargs

@@ -198,6 +198,14 @@ def _spmm_bsr_grouped_padded(
     f_pad = xp.shape[1]
     if bf16 and gg.blocks.dtype != jnp.bfloat16:
         gg = dataclasses.replace(gg, blocks=gg.blocks.astype(jnp.bfloat16))
+    elif not bf16 and gg.blocks.dtype == jnp.bfloat16:
+        # f32-exact contract: the tile VALUES were already rounded at
+        # build time, so silently running would return bf16-precision
+        # results from an "exact" call (advisor r4 finding)
+        raise ValueError(
+            "bf16=False but the BSR tile stack was stored bf16 — rebuild "
+            "the graph with store_bf16=False for the f32-exact kernel"
+        )
 
     n_groups = gg.blocks.shape[0]
 
@@ -292,6 +300,11 @@ def _spmm_bsr_padded(
     if bf16 and graph.blocks.dtype != jnp.bfloat16:
         graph = dataclasses.replace(
             graph, blocks=graph.blocks.astype(jnp.bfloat16)
+        )
+    elif not bf16 and graph.blocks.dtype == jnp.bfloat16:
+        raise ValueError(
+            "bf16=False but the BSR tile stack was stored bf16 — rebuild "
+            "the graph with store_bf16=False for the f32-exact kernel"
         )
 
     nnzb = graph.blocks.shape[0]

@@ -498,7 +498,6 @@ def _bsr_ad_bwd(interpret, bf16, graph_t, g):
 spmm_bsr_ad.defvjp(_bsr_ad_fwd, _bsr_ad_bwd)
 
 
-@partial(jax.jit, static_argnames=("method",))
 def spmm(
     graph: Union[SparseGraph, BlockSparseGraph, DenseGraph],
     x: jnp.ndarray,
@@ -507,11 +506,23 @@ def spmm(
     """Â @ x with automatic kernel dispatch.
 
     Dispatches on the graph container type (``DenseGraph``,
-    ``BlockSparseGraph``, ``OneHotGraph``, ``HybridGraph``, ``SparseGraph``);
-    for ``SparseGraph`` the ``method`` arg selects "segment" (default) or
+    ``BlockSparseGraph``, ``OneHotGraph``, ``HybridGraph``,
+    ``SparseGraph``, host-resident ``SortedStreamGraph``); for
+    ``SparseGraph`` the ``method`` arg selects "segment" (default) or
     "dense" (materialize per call — tests only; prefer ``DenseGraph``).
-    All branches are differentiable in ``x``.
+    All device branches are differentiable in ``x``.
     """
+    from textgcn_tpu.ops.streamed_sorted import SortedStreamGraph
+
+    if isinstance(graph, SortedStreamGraph):
+        # beyond-HBM host container: chunks stream from host, never
+        # through a jit boundary (the arrays must not bake into an HLO)
+        return graph.spmm(x, interpret=jax.default_backend() != "tpu")
+    return _spmm_jit(graph, x, method)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _spmm_jit(graph, x, method="auto"):
     # Pallas kernels compile for TPU; on any other backend (the CPU test
     # suite) they run in interpreter mode — same numerics, pure XLA ops.
     interpret = jax.default_backend() != "tpu"

@@ -44,7 +44,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from textgcn_tpu.ops.pallas_onehot import OneHotPlan, _reduce_call, _round_up
+from textgcn_tpu.ops.pallas_onehot import (
+    OneHotPlan,
+    _reduce_call,
+    _round_up,
+    build_onehot_plan,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -402,6 +407,78 @@ def spmm_streamed_sorted_hostfed(
             pass
         acc = _hostfed_sorted_add(acc, *cur, xp, spec, interpret)
     return acc if f == xp.shape[1] else acc[:, :f]
+
+
+@dataclasses.dataclass(frozen=True)
+class SortedStreamGraph:
+    """Beyond-HBM graph as HOST-resident sorted chunks — the container
+    ``--spmm auto``/``streamed`` converts to when the edge structures
+    would not fit next to the activations in HBM
+    (:func:`textgcn_tpu.graph.format.choose_format`). The plan arrays
+    stay numpy on host; :meth:`spmm` feeds them through the host-fed
+    sorted path chunk by chunk (one-transfer lookahead)."""
+
+    col: np.ndarray   # [n_sc, c_sc*k] int32
+    val: np.ndarray   # [n_sc, c_sc*k] f32
+    lrow: np.ndarray  # [n_sc, c_sc, k] int32
+    wloc: np.ndarray  # [n_sc, c_sc] int32
+    spec: SortedStreamSpec
+    n_nodes: int
+    n_edges: int
+    symmetric: bool
+
+    @property
+    def n_chunks(self) -> int:
+        return self.col.shape[0]
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_chunks * self.spec.rows_per_chunk
+
+    @staticmethod
+    def from_coo(row, col, val, n_nodes, symmetric: bool = True,
+                 k: int = 1024, w: int = 512,
+                 max_p_bytes: int = 1 << 28) -> "SortedStreamGraph":
+        plan = build_onehot_plan(
+            np.asarray(row), np.asarray(col), np.asarray(val), n_nodes,
+            k=k, w=w, max_p_bytes=max_p_bytes,
+        )
+        return SortedStreamGraph(
+            col=np.asarray(plan.col),
+            val=np.asarray(plan.val),
+            lrow=np.asarray(plan.lrow),
+            wloc=np.asarray(plan.wloc),
+            spec=SortedStreamSpec(
+                k=plan.k, w=plan.w, w_sc=plan.w_sc, c_sc=plan.c_sc
+            ),
+            n_nodes=int(n_nodes),
+            n_edges=int(plan.n_edges),
+            symmetric=bool(symmetric),
+        )
+
+    def chunks(self):
+        sg = self
+
+        class _Src:
+            def __iter__(self):
+                for i in range(sg.n_chunks):
+                    yield (
+                        sg.col[i], sg.val[i], sg.lrow[i], sg.wloc[i],
+                        np.int32(i * sg.spec.w_sc),
+                    )
+
+        return _Src()
+
+    def spmm(self, x, interpret: bool = False):
+        """``Â @ x`` via the host-fed sorted stream ([n, F] in/out)."""
+        n_pad = self.padded_rows
+        xp = x
+        if x.shape[0] < n_pad:
+            xp = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+        out = spmm_streamed_sorted_hostfed(
+            self.chunks(), xp, self.spec, interpret
+        )
+        return out[: self.n_nodes, : x.shape[1]]
 
 
 def save_plan_chunks(plan: OneHotPlan, path: str) -> None:
