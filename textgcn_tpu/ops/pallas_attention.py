@@ -450,7 +450,7 @@ def sddmm_slots(plan: OneHotPlan, g, x, interpret=False):
     jax.tree_util.register_dataclass,
     data_fields=["fwd", "bwd", "fwd_dst", "bwd_dst", "slot_perm",
                  "row_slot"],
-    meta_fields=["n_nodes", "n_edges"],
+    meta_fields=["n_nodes", "n_edges", "n_cols"],
 )
 @dataclasses.dataclass(frozen=True)
 class AttentionGraph:
@@ -466,6 +466,12 @@ class AttentionGraph:
       scatter.
     row_slot: [n_sc, c_sc*k] int32 global row per fwd slot (phantom = N)
       — the sorted-side gather index for logits and stats.
+
+    The layout is rectangular-aware: ``n_nodes`` is the ROW space (softmax
+    rows / output rows / es length) and ``n_cols`` the COLUMN space (x and
+    ed length). They coincide for single-chip square graphs; the sharded
+    allgather attention path (parallel/mesh_attention.py) builds per-shard
+    graphs with local rows and GLOBAL columns.
     """
 
     fwd: OneHotPlan
@@ -476,6 +482,7 @@ class AttentionGraph:
     row_slot: jnp.ndarray
     n_nodes: int
     n_edges: int
+    n_cols: int
 
     @property
     def val_slot(self) -> jnp.ndarray:
@@ -483,10 +490,12 @@ class AttentionGraph:
         return self.fwd.val
 
     @staticmethod
-    def from_coo(row, col, val, n_nodes, w: int = 512, k: int = None, **kw):
+    def from_coo(row, col, val, n_nodes, w: int = 512, k: int = None,
+                 n_cols: int = None, **kw):
         row = np.asarray(row)
         col = np.asarray(col)
         val = np.asarray(val)
+        n_cols = int(n_nodes if n_cols is None else n_cols)
         if k is None:
             k = min(2048, choose_onehot_k(row, n_nodes, w=w))
         # single-superchunk plans: the n_sc split pads chunk counts to the
@@ -495,7 +504,7 @@ class AttentionGraph:
         # enough that one superchunk fits comfortably
         kw.setdefault("max_p_bytes", 4 << 30)
         fwd, fwd_dst = _plan_with_dst(row, col, val, n_nodes, k, w, **kw)
-        bwd, bwd_dst = _plan_with_dst(col, row, val, n_nodes, k, w, **kw)
+        bwd, bwd_dst = _plan_with_dst(col, row, val, n_cols, k, w, **kw)
         n_slots_fwd = fwd.n_sc * fwd.c_sc * fwd.k
         n_slots_bwd = bwd.n_sc * bwd.c_sc * bwd.k
         perm = np.full(n_slots_bwd, n_slots_fwd, dtype=np.int32)
@@ -516,6 +525,7 @@ class AttentionGraph:
             row_slot=jnp.asarray(rs.reshape(fwd.n_sc, -1)),
             n_nodes=int(n_nodes),
             n_edges=int(len(row)),
+            n_cols=n_cols,
         )
 
     @staticmethod
@@ -587,7 +597,7 @@ def _gat_attention_fwd_impl(ag, es, ed, x, slope, interpret):
         plan, es_rep, gd, logval, slope, interpret
     )
     out = _attn_agg(plan, logits, mx, sm, x, interpret)
-    return out, (ag, logits, logval, x, mx, sm)
+    return out, (ag, logits, logval, x, mx, sm, es.shape[0], ed.shape[0])
 
 
 def _gat_fwd(ag, es, ed, x, slope, interpret):
@@ -597,8 +607,7 @@ def _gat_fwd(ag, es, ed, x, slope, interpret):
 def _gat_bwd(slope, interpret, res, g):
     from textgcn_tpu.ops.pallas_onehot import _spmm_onehot_impl
 
-    ag, logits, logval, x, mx, sm = res
-    n = x.shape[0]
+    ag, logits, logval, x, mx, sm, n_es, n_ed = res
     rs = ag.row_slot.reshape(-1)
     # paired gathers share one granule-bound pass: the row-op count, not
     # the byte width, is the wall (measured ~28 ms per [slots] scalar
@@ -627,7 +636,7 @@ def _gat_bwd(slope, interpret, res, g):
     dbase = dlog * jnp.where(pos, 1.0, slope)
     des = rowsum_slots(
         ag.fwd, dbase.reshape(ag.fwd.n_sc, -1), interpret
-    )[:n, 0]
+    )[:n_es, 0]
     # one stacked slot-permutation gather moves BOTH per-edge streams the
     # transpose side needs (attention weights for dx, dbase for ded)
     wb = jnp.stack([wt, dbase], axis=1)  # [slots, 2]
@@ -638,7 +647,7 @@ def _gat_bwd(slope, interpret, res, g):
     dx = _spmm_onehot_impl(bwd_plan, g.astype(x.dtype), interpret)
     ded = rowsum_slots(
         ag.bwd, moved[:, 1].reshape(ag.bwd.n_sc, -1), interpret
-    )[:n, 0]
+    )[:n_ed, 0]
     return None, des, ded, dx.astype(x.dtype)
 
 
@@ -665,18 +674,21 @@ def edge_logit_base(ag: AttentionGraph, es, ed, interpret=False):
 
 
 def _elb_fwd(ag, es, ed, interpret):
-    return edge_logit_base(ag, es, ed, interpret), (ag, es.shape[0])
+    return (
+        edge_logit_base(ag, es, ed, interpret),
+        (ag, es.shape[0], ed.shape[0]),
+    )
 
 
 def _elb_bwd(interpret, res, g):
-    ag, n = res
-    des = rowsum_slots(ag.fwd, g, interpret)[:n, 0]
+    ag, n_es, n_ed = res
+    des = rowsum_slots(ag.fwd, g, interpret)[:n_es, 0]
     g_bwd = jnp.take(
         g.reshape(-1), ag.slot_perm, mode="fill", fill_value=0.0
     )
     ded = rowsum_slots(
         ag.bwd, g_bwd.reshape(ag.bwd.n_sc, -1), interpret
-    )[:n, 0]
+    )[:n_ed, 0]
     return None, des, ded
 
 

@@ -134,10 +134,12 @@ class ShardedTrainer:
     ``config.model``: any :data:`SHARDED_MODELS` family — every family
     except gat (i.e. gcn, sage, sgc, appnp, gin, gcnii) runs over every
     partition/kernel combination (their only collective op is the shared
-    sharded SpMM); gat needs kernel="segment" (attention scores over the
-    COO edge stream) and runs on either partition — "allgather" (local
-    per-row softmax) or "halo" (online-softmax ppermute ring, O(N/P·F)
-    memory — :func:`textgcn_tpu.parallel.sharded._gat_halo_attention_agg`).
+    sharded SpMM). gat runs on kernel="segment" (attention scores over
+    the COO edge stream; "allgather" local softmax or "halo"
+    online-softmax ppermute ring, O(N/P·F) memory —
+    :func:`textgcn_tpu.parallel.sharded._gat_halo_attention_agg`) or
+    kernel="onehot" + partition="allgather" (fused Pallas plan-layout
+    attention per shard — :mod:`textgcn_tpu.parallel.mesh_attention`).
     """
 
     def __init__(
@@ -161,12 +163,21 @@ class ShardedTrainer:
                 "sharded training supports models "
                 f"{'|'.join(sorted(SHARDED_MODELS))}, got {self.model!r}"
             )
-        if self.model == "gat" and kernel != "segment":
+        if self.model == "gat" and kernel not in ("segment", "onehot"):
             raise ValueError(
-                "sharded GAT needs the segment kernel (attention scores "
-                "are computed over the COO edge stream); both partitions "
-                "work — allgather (local softmax) or halo (online-softmax "
-                "ppermute ring, O(N/P·F) memory)"
+                "sharded GAT runs on kernel='segment' (COO edge stream; "
+                "allgather or halo partition) or kernel='onehot' (fused "
+                "Pallas plan-layout attention, allgather partition); the "
+                "hybrid BSR leg has no attention form"
+            )
+        if self.model == "gat" and kernel == "onehot" \
+                and partition != "allgather":
+            raise ValueError(
+                "sharded GAT with kernel='onehot' needs the allgather "
+                "partition: row-partitioning keeps every softmax row's "
+                "edges on its owner shard, which is what makes the fused "
+                "attention kernel purely local; the halo ring's "
+                "online-softmax stays on kernel='segment'"
             )
         self.perm = None
         if kernel == "hybrid":
@@ -210,15 +221,18 @@ class ShardedTrainer:
 
             if partition not in ("halo", "allgather"):
                 raise ValueError(f"unknown partition strategy: {partition}")
-            cls = (
-                MeshHybridAllGather
-                if kernel == "hybrid"
-                else (
-                    MeshOneHotHalo
-                    if partition == "halo"
-                    else MeshOneHotAllGather
+            if self.model == "gat":
+                from textgcn_tpu.parallel.mesh_attention import (
+                    MeshAttentionAllGather,
                 )
-            )
+
+                cls = MeshAttentionAllGather
+            elif kernel == "hybrid":
+                cls = MeshHybridAllGather
+            elif partition == "halo":
+                cls = MeshOneHotHalo
+            else:
+                cls = MeshOneHotAllGather
             self.pg = cls.from_graph(graph, self.n_shards)
         elif kernel != "segment":
             raise ValueError(f"unknown mesh kernel: {kernel}")

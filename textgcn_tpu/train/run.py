@@ -83,11 +83,13 @@ def _prepare_for_training(
     if (
         getattr(config, "model", "gcn") == "gat"
         and n_shards is not None
-        and config.spmm not in ("auto", "segment")
+        and config.spmm not in ("auto", "segment", "onehot")
     ):
         raise ValueError(
-            "sharded GAT runs on the per-shard COO edge stream; use "
-            "--spmm segment (or auto) with --model gat --shards"
+            "sharded GAT runs on the per-shard COO edge stream (--spmm "
+            "segment/auto, either partition) or the fused Pallas "
+            "plan-layout attention kernel (--spmm onehot, --partition "
+            "allgather); the hybrid BSR leg has no attention form"
         )
     if pre_data is None:
         if graph_family == "docword":
