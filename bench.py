@@ -369,16 +369,23 @@ def gat_docword_perf(pre) -> dict:
     blocked — the same definition as the GCN epoch numbers."""
     import jax
 
-    from textgcn_tpu.train.prepare import apply_attention_format
+    from textgcn_tpu.train.prepare import (
+        apply_attention_format,
+        apply_dense_attention_format,
+    )
     from textgcn_tpu.train.trainer import TrainConfig, Trainer
 
     out = {}
-    for name in ("hybrid", "segment"):
-        data = (
-            apply_attention_format(pre, degree_sort=True)
-            if name == "hybrid"
-            else pre
-        )
+    for name in ("dense", "hybrid", "segment"):
+        if name == "dense":
+            # resident bf16 log-adjacency: fused elementwise + MXU matmul,
+            # zero gathers (models/gat.py DenseAttentionGraph) — the
+            # measured-fastest GAT layout at text-graph sizes
+            data = apply_dense_attention_format(pre)
+        elif name == "hybrid":
+            data = apply_attention_format(pre, degree_sort=True)
+        else:
+            data = pre
         labels = data.labels
 
         def fit(n_epochs):
@@ -410,9 +417,13 @@ def gat_docword_perf(pre) -> dict:
     out["speedup"] = (
         out["segment"]["s_per_epoch"] / out["hybrid"]["s_per_epoch"]
     )
+    out["speedup_dense"] = (
+        out["segment"]["s_per_epoch"] / out["dense"]["s_per_epoch"]
+    )
     log(
         f"[bench] GAT kernel-path speedup vs segment: "
-        f"{out['speedup']:.2f}x"
+        f"{out['speedup']:.2f}x (plan layout), "
+        f"{out['speedup_dense']:.2f}x (dense log-adjacency)"
     )
     return out
 

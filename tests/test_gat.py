@@ -194,3 +194,98 @@ def test_run_experiment_gat_attention_format():
     assert out2.perm is not None
     # degree-sorted relabeling stays consistent: permuted labels align
     assert out2.labels.target[out2.perm[5]] == labels.target[5]
+
+
+def test_gat_layer_dense_matches_segment():
+    """Dense log-adjacency layer (models/gat.py DenseAttentionGraph) vs
+    the segment path: forward and parameter grads agree to the bf16
+    tolerance of the resident loga / bf16 aggregation matmul."""
+    from textgcn_tpu.models.gat import (
+        DenseAttentionGraph,
+        _gat_layer_params,
+        gat_layer_dense,
+    )
+
+    g, rng = _graph(n=80, e0=400, seed=7)
+    dg = DenseAttentionGraph.from_sparse_graph(g)
+    p = _gat_layer_params(jax.random.PRNGKey(0), 10, 6)
+    x = jnp.asarray(rng.randn(80, 10).astype(np.float32))
+    a = np.asarray(gat_layer(p, g, x))
+    b = np.asarray(gat_layer_dense(p, dg, x))
+    assert np.max(np.abs(a - b)) <= 2e-2 * max(np.max(np.abs(a)), 1.0)
+    ga = jax.grad(lambda p: jnp.sum(gat_layer(p, g, x) ** 2))(p)
+    gb = jax.grad(lambda p: jnp.sum(gat_layer_dense(p, dg, x) ** 2))(p)
+    for k in ga:
+        ref = np.asarray(ga[k])
+        got = np.asarray(gb[k])
+        assert np.max(np.abs(got - ref)) <= 2e-2 * max(
+            np.max(np.abs(ref)), 1.0
+        ), k
+
+
+def test_gat_trains_on_dense_attention_graph():
+    """Trainer(model='gat') on the DenseAttentionGraph follows the segment
+    trainer's loss trajectory (dropout off, same seed)."""
+    from textgcn_tpu.models.gat import DenseAttentionGraph
+    from textgcn_tpu.train.trainer import TrainConfig, Trainer
+
+    g, rng = _graph(n=60, e0=240, seed=8)
+    x = rng.randn(60, 8).astype(np.float32)
+    y = rng.randint(0, 3, 60)
+    idx = np.arange(60)
+    cfg = TrainConfig(
+        n_hidden=8, max_epoch=10, early_stopping=25, dropout=0.0,
+        seed=0, epoch_block=5, model="gat",
+    )
+    losses = {}
+    for graph in (g, DenseAttentionGraph.from_sparse_graph(g)):
+        t = Trainer(graph, x, y, idx[:40], idx[40:], 3, config=cfg)
+        t.fit(verbose=False)
+        losses[type(graph).__name__] = [
+            h["train_loss"] for h in t.history
+        ]
+    seg = losses["SparseGraph"]
+    den = losses["DenseAttentionGraph"]
+    assert len(seg) == len(den)
+    for a, b in zip(seg, den):
+        assert abs(a - b) < 3e-2
+
+
+def test_apply_dense_attention_format():
+    """--model gat --spmm dense/auto routes through the dense
+    log-adjacency layout."""
+    from textgcn_tpu.models.gat import DenseAttentionGraph
+    from textgcn_tpu.text.datasets import DatasetLabels
+    from textgcn_tpu.train.prepare import (
+        PreparedData,
+        apply_dense_attention_format,
+    )
+
+    g, rng = _graph(n=40, e0=160, seed=9)
+    labels = DatasetLabels(
+        target=rng.randint(0, 3, 20),
+        label_names=["a", "b", "c"],
+        train_idx=np.arange(12),
+        test_idx=np.arange(12, 20),
+    )
+    pre = PreparedData(
+        graph=g,
+        features=rng.randn(40, 8).astype(np.float32),
+        labels=labels,
+        n_feat=8,
+        num_docs=20,
+        num_topics=20,
+    )
+    out = apply_dense_attention_format(pre)
+    assert isinstance(out.graph, DenseAttentionGraph)
+    # loga holds log(val) at real edges, the -1e30 sentinel elsewhere
+    e = g.n_edges
+    r0 = int(np.asarray(g.row)[0])
+    c0 = int(np.asarray(g.col)[0])
+    v0 = float(np.asarray(g.val)[0])
+    got = float(out.graph.loga[r0, c0])
+    assert abs(got - np.log(v0)) <= 2e-2 * max(abs(np.log(v0)), 1.0)
+    rows = np.asarray(g.row)[:e]
+    cols = np.asarray(g.col)[:e]
+    if not np.any((rows == 0) & (cols == 1)):
+        assert float(out.graph.loga[0, 1]) < -1e29

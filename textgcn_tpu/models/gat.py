@@ -20,6 +20,7 @@ the weight table itself, as in :func:`textgcn_tpu.models.gcn.gcn_forward`.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Dict, Optional
 
@@ -31,6 +32,64 @@ from textgcn_tpu.models.gcn import _init_layer
 from textgcn_tpu.ops.spmm import spmm_coo_segment_ew
 
 Params = Dict[str, Any]
+
+_NEG = -1e30  # finite -inf stand-in (NaN-free max/exp arithmetic)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["loga"],
+    meta_fields=["n_nodes"],
+)
+@dataclasses.dataclass(frozen=True)
+class DenseAttentionGraph:
+    """Dense log-adjacency for small-graph attention — the GAT analogue of
+    :class:`textgcn_tpu.graph.structs.DenseGraph`.
+
+    Every per-edge quantity of a GAT layer (logit, softmax weight) is a
+    function of (row, col) only, so on graphs whose [N, N] table fits HBM
+    the whole sparse side collapses into dense elementwise ops + one MXU
+    matmul — ZERO gathers, riding HBM stream bandwidth, where the
+    plan-layout kernel path pays ~6 granule-bound random [E] passes per
+    layer and the segment path ~23% of the gather wall. The real text
+    graphs are <20k nodes (R8 docword: 15362), squarely in this regime —
+    the same size argument that makes ``--spmm dense`` the measured-fastest
+    GCN format (90% of its HBM bound).
+
+    ``loga`` stores ``log(val)`` once, in bf16 ([N, N] = 472 MB on R8
+    docword): the log never recomputes per pass, reads at half the f32
+    traffic, and off-pattern entries hold a finite ``-1e30`` whose softmax
+    weight underflows to exactly 0 — the dense image of the segment path's
+    ``log(val=0) = -inf`` masking (padding edges carry val 0 there too).
+    bf16's ~3-digit mantissa perturbs real logits by ~0.4%, the same
+    tolerance family as the bf16 aggregation of the kernel paths.
+
+    Built ON DEVICE by scatter from the resident COO (a host-built [N, N]
+    push through the tunnel takes minutes — DenseGraph measurement);
+    requires the coalesced edges every normalized Â has (``.set`` not
+    ``.add``: log does not sum over duplicates).
+    """
+
+    loga: jnp.ndarray  # [n, n] bfloat16, log edge value; -1e30 off-pattern
+    n_nodes: int
+
+    @staticmethod
+    def from_sparse_graph(g: "SparseGraph") -> "DenseAttentionGraph":
+        n = int(g.n_nodes)
+
+        @jax.jit
+        def densify(row, col, val):
+            # padded entries (row == col == n, val == 0) land in the
+            # phantom rim and are sliced off; log(0) = -inf is clamped to
+            # the finite sentinel
+            d = jnp.full((n + 1, n + 1), _NEG, dtype=jnp.float32)
+            lv = jnp.maximum(jnp.log(val.astype(jnp.float32)), _NEG)
+            d = d.at[row, col].set(lv)
+            return d[:n, :n].astype(jnp.bfloat16)
+
+        return DenseAttentionGraph(
+            loga=densify(g.row, g.col, g.val), n_nodes=n
+        )
 
 
 def segment_softmax(
@@ -138,6 +197,42 @@ def gat_layer(
     return out + p["b"]
 
 
+def gat_layer_dense(
+    p: Params,
+    dg: DenseAttentionGraph,
+    x: Optional[jnp.ndarray],
+    *,
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """One attention layer on the DENSE path (small graphs, zero gathers).
+
+    The per-edge logit ``leaky(es[r] + ed[c]) + log(val[r,c])`` is a rank-1
+    broadcast plus the resident log-adjacency; the row softmax is two
+    fused elementwise sweeps; aggregation is one bf16 MXU matmul. All
+    [N, N] traffic is sequential — the layer rides HBM stream bandwidth
+    like the dense GCN format instead of the random-gather wall. Same
+    math as :func:`gat_layer` (off-pattern/padding entries carry the
+    finite ``-1e30`` image of ``log(0)`` and drop out of the softmax)."""
+    h = (
+        p["w"]
+        if x is None
+        else jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    )
+    es = jnp.dot(h, p["a_src"], preferred_element_type=jnp.float32)
+    ed = jnp.dot(h, p["a_dst"], preferred_element_type=jnp.float32)
+    base = jax.nn.leaky_relu(es[:, None] + ed[None, :], negative_slope)
+    logit = base + dg.loga.astype(jnp.float32)
+    m = jnp.max(logit, axis=1, keepdims=True)
+    shift = jnp.where(m > _NEG / 2, m, 0.0)
+    e = jnp.where(logit > _NEG / 2, jnp.exp(logit - shift), 0.0)
+    s = jnp.sum(e, axis=1, keepdims=True)
+    att = (e / jnp.maximum(s, 1e-30)).astype(jnp.bfloat16)
+    out = jnp.dot(
+        att, h.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    return out + p["b"]
+
+
 def gat_forward(
     params: Params,
     graph: SparseGraph,
@@ -153,12 +248,15 @@ def gat_forward(
     if isinstance(graph, AttentionGraph):
         interpret = jax.default_backend() != "tpu"
         layer = partial(gat_layer_onehot, interpret=interpret)
+    elif isinstance(graph, DenseAttentionGraph):
+        layer = gat_layer_dense
     elif isinstance(graph, SparseGraph):
         layer = gat_layer
     else:
         raise TypeError(
-            "GAT needs the row-sorted COO SparseGraph (segment path) or "
-            "an AttentionGraph (one-hot kernel path); got "
+            "GAT needs the row-sorted COO SparseGraph (segment path), an "
+            "AttentionGraph (one-hot kernel path), or a "
+            "DenseAttentionGraph (dense small-graph path); got "
             f"{type(graph).__name__}"
         )
     h = layer(params["gat1"], graph, x)

@@ -131,6 +131,23 @@ def apply_attention_format(
     )
 
 
+def apply_dense_attention_format(pre: PreparedData) -> PreparedData:
+    """Convert ``pre.graph`` to the dense small-graph attention layout
+    (:class:`textgcn_tpu.models.gat.DenseAttentionGraph`): the resident
+    bf16 log-adjacency that collapses GAT's sparse side into fused
+    elementwise sweeps + one MXU matmul (zero gathers). The GAT analogue
+    of ``--spmm dense``; eligible whenever the [N, N] table fits the
+    machine model's dense budget — which covers every real text graph
+    this framework ships."""
+    if not isinstance(pre.graph, SparseGraph):
+        return pre
+    from textgcn_tpu.models.gat import DenseAttentionGraph
+
+    return dataclasses.replace(
+        pre, graph=DenseAttentionGraph.from_sparse_graph(pre.graph)
+    )
+
+
 def permute_rows_1d_docs(target: np.ndarray, perm: np.ndarray) -> np.ndarray:
     """Relabel per-doc labels to permuted node ids.
 

@@ -113,6 +113,22 @@ def _prepare_for_training(
                 pre_data = apply_attention_format(
                     pre_data, degree_sort=config.spmm == "hybrid"
                 )
+            elif config.spmm == "dense" or config.spmm == "auto":
+                # dense log-adjacency: the measured-fastest GAT layout
+                # whenever the [N, N] table fits (models/gat.py
+                # DenseAttentionGraph); auto falls back to the segment
+                # COO stream past the budget
+                from textgcn_tpu.graph.format import MachineModel
+                from textgcn_tpu.train.prepare import (
+                    apply_dense_attention_format,
+                )
+
+                n = pre_data.graph.n_nodes
+                mm = MachineModel.from_artifact()
+                if config.spmm == "dense" or (
+                    4 * n * n <= mm.dense_bytes_budget
+                ):
+                    pre_data = apply_dense_attention_format(pre_data)
         else:
             pre_data = apply_spmm_format(pre_data, config.spmm)
     if getattr(config, "model", "gcn") == "sgc_pre":

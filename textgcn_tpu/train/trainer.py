@@ -397,15 +397,17 @@ class Trainer:
                 f"unknown model {model!r}; choose one of {sorted(MODELS)}"
             )
         from textgcn_tpu.graph.structs import SparseGraph
+        from textgcn_tpu.models.gat import DenseAttentionGraph
         from textgcn_tpu.ops.pallas_attention import AttentionGraph
 
         if model == "gat" and not isinstance(
-            self.graph, (SparseGraph, AttentionGraph)
+            self.graph, (SparseGraph, AttentionGraph, DenseAttentionGraph)
         ):
             raise ValueError(
-                "GAT needs the segment (COO) format or the attention-"
-                "kernel AttentionGraph (spmm='onehot'/'hybrid'); got "
-                f"{type(self.graph).__name__}"
+                "GAT needs the segment (COO) format, the attention-kernel "
+                "AttentionGraph (spmm='onehot'/'hybrid'), or the dense "
+                "small-graph DenseAttentionGraph (spmm='dense'/'auto'); "
+                f"got {type(self.graph).__name__}"
             )
         return MODELS[model]
 
