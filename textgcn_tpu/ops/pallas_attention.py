@@ -490,8 +490,13 @@ class AttentionGraph:
         return self.fwd.val
 
     @staticmethod
-    def from_coo(row, col, val, n_nodes, w: int = 512, k: int = None,
+    def from_coo(row, col, val, n_nodes, w: int = 256, k: int = None,
                  n_cols: int = None, **kw):
+        # w=256 default: on-chip sweep (round 5) — the [w, k] one-hot
+        # transpose work scales with w, and w=256 is uniformly faster
+        # than 512 on R8 docword (sddmm 28.3→25.8 ms = 0.67→0.73 of the
+        # gather wall; whole GAT fwd+bwd 268→252 ms) with no loss
+        # elsewhere; below 256 the curve is flat.
         row = np.asarray(row)
         col = np.asarray(col)
         val = np.asarray(val)
