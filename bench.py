@@ -389,9 +389,13 @@ def gat_docword_perf(pre) -> dict:
         labels = data.labels
 
         def fit(n_epochs):
+            # epoch_block == n_epochs: one compiled dispatch for the whole
+            # timed window, same dispatch-amortized definition as the GCN
+            # epoch numbers (the dense path runs ~29 ms/epoch — a 5-epoch
+            # block buried it under per-dispatch tunnel readbacks)
             cfg = TrainConfig(
                 n_hidden=200, max_epoch=n_epochs, early_stopping=1000,
-                dropout=0.5, seed=0, epoch_block=5, model="gat",
+                dropout=0.5, seed=0, epoch_block=n_epochs, model="gat",
             )
             t = Trainer(
                 data.graph, data.features, labels.target,
@@ -402,7 +406,7 @@ def gat_docword_perf(pre) -> dict:
             t.fit(verbose=False)
             return t, time.perf_counter() - t0
 
-        fit(5)  # compile
+        fit(15)  # compile (same block size as the timed window)
         t, dt = fit(15)
         res = t.test()
         out[name] = {

@@ -57,10 +57,11 @@ def main() -> int:
     mesh = global_mesh()
     loss = run_global_step(mesh)
     s_ring, s_sorted = run_global_streams(mesh)
+    s_attn = run_global_attention(mesh)
 
     if jax.process_index() == 0:
         with open(args.out, "w", encoding="utf-8") as f:
-            f.write(f"{loss!r},{s_ring!r},{s_sorted!r}\n")
+            f.write(f"{loss!r},{s_ring!r},{s_sorted!r},{s_attn!r}\n")
     # clean shutdown so the coordinator releases the barrier
     jax.distributed.shutdown()
     return 0
@@ -202,6 +203,50 @@ def run_global_streams(mesh):
     )
     s_sorted = float(gsum(out2))
     return s_ring, s_sorted
+
+
+def run_global_attention(mesh) -> float:
+    """The fused Pallas mesh attention (parallel/mesh_attention.py) over
+    ``mesh`` — per-shard rectangular plans + all-gather inside shard_map,
+    interpret-mode kernels on CPU. Round-5 extension of the round-4
+    weak-#5 closure: the attention mesh kernel crossing a real process
+    boundary."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from textgcn_tpu.graph.structs import SparseGraph
+    from textgcn_tpu.parallel.mesh_attention import (
+        MeshAttentionAllGather,
+        mesh_gat_attention,
+    )
+
+    n_shards = mesh.devices.size
+
+    def put(arr, spec):
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+        )
+
+    rng = np.random.RandomState(13)
+    n, e, f = 96, 500, 8
+    g = SparseGraph.from_coo(
+        rng.randint(0, n, e), rng.randint(0, n, e),
+        rng.rand(e) + 0.1, n,
+    )
+    mg = MeshAttentionAllGather.from_graph(g, n_shards, w=8, k=128)
+    mg = jax.tree_util.tree_map(lambda a: put(a, P("nodes")), mg)
+    h = np.zeros((mg.n_pad, f), np.float32)
+    h[:n] = rng.randn(n, f)
+    a_s = rng.randn(f).astype(np.float32)
+    a_d = rng.randn(f).astype(np.float32)
+    out = jax.jit(
+        lambda m_, s_, d_, x_: mesh_gat_attention(
+            m_, s_, d_, x_, mesh, interpret=True
+        )
+    )(mg, put(a_s, P()), put(a_d, P()), put(h, P("nodes", None)))
+    return float(jax.jit(jnp.sum)(out))
 
 
 if __name__ == "__main__":

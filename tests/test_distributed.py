@@ -55,15 +55,20 @@ def test_two_process_jax_distributed_matches_single_process(tmp_path):
         stdout, stderr = p.communicate(timeout=300)
         outs.append((p.returncode, stdout, stderr))
     assert all(rc == 0 for rc, _, _ in outs), outs
-    multi_loss, multi_ring, multi_sorted = (
+    multi_loss, multi_ring, multi_sorted, multi_attn = (
         float(v) for v in out.read_text().strip().split(",")
     )
 
     # control: identical computations on the single-process 8-device
-    # virtual mesh — train step, streamed ppermute ring, and the Pallas
-    # sorted plan-layout ring (round-4 weak #5: the mesh kernels and the
-    # streamed rings had never crossed a real process boundary)
-    from tests.distributed_worker import run_global_step, run_global_streams
+    # virtual mesh — train step, streamed ppermute ring, the Pallas
+    # sorted plan-layout ring, and the fused mesh attention (round-4
+    # weak #5: the mesh kernels and the streamed rings had never crossed
+    # a real process boundary)
+    from tests.distributed_worker import (
+        run_global_attention,
+        run_global_step,
+        run_global_streams,
+    )
 
     mesh = global_mesh()
     single_loss = run_global_step(mesh)
@@ -71,6 +76,8 @@ def test_two_process_jax_distributed_matches_single_process(tmp_path):
     single_ring, single_sorted = run_global_streams(mesh)
     np.testing.assert_allclose(multi_ring, single_ring, rtol=1e-5)
     np.testing.assert_allclose(multi_sorted, single_sorted, rtol=1e-5)
+    single_attn = run_global_attention(mesh)
+    np.testing.assert_allclose(multi_attn, single_attn, rtol=1e-4)
 
 
 def test_from_env_jax_vars():
