@@ -289,3 +289,53 @@ def test_apply_dense_attention_format():
     cols = np.asarray(g.col)[:e]
     if not np.any((rows == 0) & (cols == 1)):
         assert float(out.graph.loga[0, 1]) < -1e29
+
+
+def test_gat_auto_format_routing():
+    """--model gat --spmm auto: dense log-adjacency within the dense
+    budget, fused plan-layout attention past it (never the 23%-of-wall
+    segment fallback)."""
+    import dataclasses
+
+    from textgcn_tpu.models.gat import DenseAttentionGraph
+    from textgcn_tpu.ops.pallas_attention import AttentionGraph
+    from textgcn_tpu.text.datasets import DatasetLabels
+    from textgcn_tpu.train.prepare import PreparedData
+    from textgcn_tpu.train.run import _prepare_for_training
+    from textgcn_tpu.train.trainer import TrainConfig
+
+    g, rng = _graph(n=40, e0=160, seed=10)
+    labels = DatasetLabels(
+        target=rng.randint(0, 3, 20),
+        label_names=["a", "b", "c"],
+        train_idx=np.arange(12),
+        test_idx=np.arange(12, 20),
+    )
+    pre = PreparedData(
+        graph=g,
+        features=rng.randn(40, 8).astype(np.float32),
+        labels=labels,
+        n_feat=8,
+        num_docs=20,
+        num_topics=20,
+    )
+    cfg = TrainConfig(model="gat", spmm="auto")
+    out, _ = _prepare_for_training("x", "topic", "data", cfg, pre, None)
+    assert isinstance(out.graph, DenseAttentionGraph)
+
+    # shrink the dense budget below 4*n*n -> the plan layout must win
+    import textgcn_tpu.graph.format as fmt
+
+    orig = fmt.MachineModel.from_artifact
+    try:
+        fmt.MachineModel.from_artifact = staticmethod(
+            lambda path=None: dataclasses.replace(
+                orig(), dense_bytes_budget=1
+            )
+        )
+        out2, _ = _prepare_for_training(
+            "x", "topic", "data", cfg, pre, None
+        )
+    finally:
+        fmt.MachineModel.from_artifact = staticmethod(orig)
+    assert isinstance(out2.graph, AttentionGraph)

@@ -116,8 +116,10 @@ def _prepare_for_training(
             elif config.spmm == "dense" or config.spmm == "auto":
                 # dense log-adjacency: the measured-fastest GAT layout
                 # whenever the [N, N] table fits (models/gat.py
-                # DenseAttentionGraph); auto falls back to the segment
-                # COO stream past the budget
+                # DenseAttentionGraph); auto falls back to the fused
+                # plan-layout attention kernels past the budget (~4.4x
+                # the segment epoch on R8 docword) — segment stays
+                # reachable explicitly
                 from textgcn_tpu.graph.format import MachineModel
                 from textgcn_tpu.train.prepare import (
                     apply_dense_attention_format,
@@ -129,6 +131,10 @@ def _prepare_for_training(
                     4 * n * n <= mm.dense_bytes_budget
                 ):
                     pre_data = apply_dense_attention_format(pre_data)
+                else:
+                    pre_data = apply_attention_format(
+                        pre_data, degree_sort=True
+                    )
         else:
             pre_data = apply_spmm_format(pre_data, config.spmm)
     if getattr(config, "model", "gcn") == "sgc_pre":
