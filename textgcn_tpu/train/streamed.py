@@ -207,26 +207,84 @@ def make_streamed_train_step_segmented(
         edge_fn, n_nodes, n_chunks, chunks_per_dispatch, stream_fn
     )
 
+    # the wide pieces are hand-written tape.custom nodes: jax.vjp's
+    # residuals are compiled-call OUTPUTS, so they would hold fresh
+    # copies of x ([N, F], 2.6 GB at the 10M/F=128 config) and a1 — with
+    # them, every stream point of this step peaks past what the chip
+    # reliably has (observed RESOURCE_EXHAUSTED in the round-5 driver
+    # bench). The custom backwards read x/a1 from the closure (no copy)
+    # and recompute the [N, H] relu; numerics are unchanged
+    # (bit-compatibility with the monolithic autodiff step is pinned by
+    # tests/test_streamed_train.py).
     dense1 = jax.jit(
-        lambda p, x: jnp.dot(
-            x, p["gc1"]["w"].astype(x.dtype),
-            preferred_element_type=jnp.float32,
+        lambda x, w: jnp.dot(
+            x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(stream_dtype)
     )
+    dense1_bwd = jax.jit(
+        lambda x, g: jnp.dot(
+            x.T, g.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    )
     dense2 = jax.jit(
-        lambda p, a1: jnp.dot(
-            jax.nn.relu(a1 + p["gc1"]["b"]), p["gc2"]["w"],
-            preferred_element_type=jnp.float32,
+        lambda a1, w1b, w2: jnp.dot(
+            jax.nn.relu(a1 + w1b), w2, preferred_element_type=jnp.float32
         ).astype(stream_dtype)
+    )
+    dense2_bwd = jax.jit(
+        lambda a1, w1b, w2, g: (
+            lambda pre, gf: (
+                jnp.dot(
+                    jax.nn.relu(pre).T, gf,
+                    preferred_element_type=jnp.float32,
+                ),
+                jnp.sum(
+                    jnp.where(
+                        pre > 0,
+                        jnp.dot(
+                            gf, w2.T, preferred_element_type=jnp.float32
+                        ),
+                        0.0,
+                    ),
+                    axis=0,
+                ),
+                jnp.where(
+                    pre > 0,
+                    jnp.dot(gf, w2.T, preferred_element_type=jnp.float32),
+                    0.0,
+                ),
+            )
+        )(a1 + w1b, g.astype(jnp.float32))
     )
     head = jax.jit(
         lambda p, a2, y, mask: _masked_ce(a2 + p["gc2"]["b"], y, mask)
     )
 
     def build(tape, p, x, y, mask):
-        s1 = tape.dense(dense1, p, consts=(x,))
+        params = p.value
+
+        def s1_vjp(g):
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["gc1"] = dict(dp["gc1"], w=dense1_bwd(x, g))
+            return (dp,)
+
+        s1 = tape.custom(dense1(x, params["gc1"]["w"]), s1_vjp, p)
         a1 = tape.stream_node(s1)
-        s2 = tape.dense(dense2, p, a1)
+        a1v = a1.value  # closure residual (backward() nulls node values)
+
+        def s2_vjp(g):
+            dw2, db1, dpre = dense2_bwd(
+                a1v, params["gc1"]["b"], params["gc2"]["w"], g
+            )
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["gc1"] = dict(dp["gc1"], b=db1)
+            dp["gc2"] = dict(dp["gc2"], w=dw2)
+            return (dp, dpre.astype(a1v.dtype))
+
+        s2 = tape.custom(
+            dense2(a1v, params["gc1"]["b"], params["gc2"]["w"]),
+            s2_vjp, p, a1,
+        )
         a2 = tape.stream_node(s2)
         return tape.dense(head, p, a2, consts=(y, mask))
 

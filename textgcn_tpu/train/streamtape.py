@@ -67,10 +67,25 @@ class StreamTape:
     def dense(self, fn, *nodes: _Node, consts: Tuple = ()) -> _Node:
         """Apply a jitted single-output function: differentiated in the
         ``nodes`` arguments (pytrees fine), ``consts`` appended as
-        non-differentiated trailing arguments."""
+        non-differentiated trailing arguments.
+
+        Memory caveat: ``jax.vjp``'s residuals are OUTPUTS of the
+        compiled forward, so a wide ``const`` the backward needs (e.g.
+        the [N, F] feature matrix in a first-layer matmul) is COPIED
+        into the residual set — +2.6 GB at the 10M-node/F=128 config,
+        enough to push the step past the chip (observed
+        RESOURCE_EXHAUSTED). For those pieces use :meth:`custom`, whose
+        hand-written backward reads the wide array from the closure."""
         vals = tuple(n.value for n in nodes)
         out, vjp = jax.vjp(lambda *d: fn(*d, *consts), *vals)
         return self._new(out, vjp, nodes)
+
+    def custom(self, value, vjp, *nodes: _Node) -> _Node:
+        """A node with a hand-written ``vjp(g) -> per-parent cotangent
+        tuple`` — for pieces where ``jax.vjp``'s residual copies are too
+        expensive (see :meth:`dense`). ``value`` is the already-computed
+        forward output; the vjp closure owns its own residuals."""
+        return self._new(value, vjp, nodes)
 
     def stream_node(self, node: _Node) -> _Node:
         """Apply the symmetric streamed operator (cast discipline of
@@ -80,7 +95,18 @@ class StreamTape:
         y = self.stream(node.value.astype(sd))
 
         def vjp(g):
-            dv = self.stream(g.astype(sd))
+            gb = g if g.dtype == sd else g.astype(sd)
+            if gb is not g and isinstance(g, jax.Array):
+                # eager orchestration, so free explicitly: the wide f32
+                # cotangent (5.1 GB at the 10M-node/F=128 config) must
+                # not stay resident while the streamed transpose pass
+                # holds its own operand + accumulator — with it, the
+                # backward peaks past the 16 GB chip (observed
+                # RESOURCE_EXHAUSTED in the round-5 driver bench); the
+                # only reference to g is this node's .grad, nulled by
+                # backward() right after this vjp returns
+                g.delete()
+            dv = self.stream(gb)
             return (dv.astype(sd).astype(in_dtype),)
 
         return self._new(y, vjp, (node,))
