@@ -401,25 +401,69 @@ def make_streamed_appnp_train_step_segmented(
         edge_fn, n_nodes, n_chunks, chunks_per_dispatch, stream_fn
     )
 
+    # the MLP is a tape.custom node: jax.vjp would copy the wide [N, F]
+    # x into its residuals (see make_streamed_train_step_segmented); the
+    # hand backward reads x from the closure and recomputes the narrow
+    # [N, H] hidden activation
     mlp = jax.jit(
-        lambda p, x: jnp.dot(
+        lambda x, w1, b1, w2, b2: jnp.dot(
             jax.nn.relu(
                 jnp.dot(
-                    x, p["fc1"]["w"].astype(x.dtype),
+                    x, w1.astype(x.dtype),
                     preferred_element_type=jnp.float32,
                 )
-                + p["fc1"]["b"]
+                + b1
             ),
-            p["fc2"]["w"],
+            w2,
             preferred_element_type=jnp.float32,
         )
-        + p["fc2"]["b"]
+        + b2
     )
+
+    def _mlp_bwd_impl(x, w1, b1, w2, g):
+        pre = (
+            jnp.dot(
+                x, w1.astype(x.dtype), preferred_element_type=jnp.float32
+            )
+            + b1
+        )
+        h1 = jax.nn.relu(pre)
+        dw2 = jnp.dot(h1.T, g, preferred_element_type=jnp.float32)
+        db2 = jnp.sum(g, axis=0)
+        dpre = jnp.where(
+            pre > 0,
+            jnp.dot(g, w2.T, preferred_element_type=jnp.float32),
+            0.0,
+        )
+        dw1 = jnp.dot(
+            x.T, dpre.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        return dw1, jnp.sum(dpre, axis=0), dw2, db2
+
+    mlp_bwd = jax.jit(_mlp_bwd_impl)
     ppr = jax.jit(lambda zs, h: (1.0 - alpha) * zs + alpha * h)
     head = jax.jit(lambda z, y, mask: _masked_ce(z, y, mask))
 
     def build(tape, p, x, y, mask):
-        h = tape.dense(mlp, p, consts=(x,))
+        params = p.value
+
+        def h_vjp(g):
+            dw1, db1, dw2, db2 = mlp_bwd(
+                x, params["fc1"]["w"], params["fc1"]["b"],
+                params["fc2"]["w"], g,
+            )
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["fc1"] = dict(dp["fc1"], w=dw1, b=db1)
+            dp["fc2"] = dict(dp["fc2"], w=dw2, b=db2)
+            return (dp,)
+
+        h = tape.custom(
+            mlp(
+                x, params["fc1"]["w"], params["fc1"]["b"],
+                params["fc2"]["w"], params["fc2"]["b"],
+            ),
+            h_vjp, p,
+        )
         z = h
         for _ in range(k):
             zs = tape.stream_node(z)
@@ -523,18 +567,32 @@ def make_streamed_sgc_train_step_segmented(
         edge_fn, n_nodes, n_chunks, chunks_per_dispatch, stream_fn
     )
 
+    # projection as a tape.custom node: jax.vjp would copy the wide
+    # [N, F] x into its residuals (see make_streamed_train_step_segmented
+    # — the copy pushed the 10M-node GCN step past the chip)
     proj = jax.jit(
-        lambda p, x: jnp.dot(
-            x, p["lin"]["w"].astype(x.dtype),
-            preferred_element_type=jnp.float32,
+        lambda x, w: jnp.dot(
+            x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(stream_dtype)
+    )
+    proj_bwd = jax.jit(
+        lambda x, g: jnp.dot(
+            x.T, g.astype(x.dtype), preferred_element_type=jnp.float32
+        )
     )
     head = jax.jit(
         lambda p, z, y, mask: _masked_ce(z + p["lin"]["b"], y, mask)
     )
 
     def build(tape, p, x, y, mask):
-        z = tape.dense(proj, p, consts=(x,))
+        params = p.value
+
+        def z_vjp(g):
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["lin"] = dict(dp["lin"], w=proj_bwd(x, g))
+            return (dp,)
+
+        z = tape.custom(proj(x, params["lin"]["w"]), z_vjp, p)
         for _ in range(k):
             z = tape.stream_node(z)
         return tape.dense(head, p, z, consts=(y, mask))
@@ -568,22 +626,45 @@ def make_streamed_sage_train_step_segmented(
         edge_fn, n_nodes, n_chunks, chunks_per_dispatch, stream_fn
     )
 
+    # both x-consuming pieces are tape.custom nodes: jax.vjp would copy
+    # the wide [N, F] x into their residuals (see
+    # make_streamed_train_step_segmented); the hand backwards read x /
+    # n1 from the closure and recompute the narrow pre-activation
     neigh1 = jax.jit(
-        lambda p, x: jnp.dot(
-            x, p["sage1"]["w_neigh"].astype(x.dtype),
-            preferred_element_type=jnp.float32,
+        lambda x, w: jnp.dot(
+            x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(stream_dtype)
     )
-    layer1 = jax.jit(
-        lambda p, n1, x: jax.nn.relu(
-            jnp.dot(
-                x, p["sage1"]["w_self"].astype(x.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + n1
-            + p["sage1"]["b"]
+    neigh1_bwd = jax.jit(
+        lambda x, g: jnp.dot(
+            x.T, g.astype(x.dtype), preferred_element_type=jnp.float32
         )
     )
+    layer1 = jax.jit(
+        lambda x, n1, ws, b: jax.nn.relu(
+            jnp.dot(
+                x, ws.astype(x.dtype), preferred_element_type=jnp.float32
+            )
+            + n1
+            + b
+        )
+    )
+
+    def _layer1_bwd_impl(x, n1, ws, b, g):
+        pre = (
+            jnp.dot(
+                x, ws.astype(x.dtype), preferred_element_type=jnp.float32
+            )
+            + n1
+            + b
+        )
+        dpre = jnp.where(pre > 0, g, 0.0)
+        dws = jnp.dot(
+            x.T, dpre.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        return dws, jnp.sum(dpre, axis=0), dpre
+
+    layer1_bwd = jax.jit(_layer1_bwd_impl)
     neigh2 = jax.jit(
         lambda p, h: jnp.dot(
             h, p["sage2"]["w_neigh"], preferred_element_type=jnp.float32
@@ -602,8 +683,33 @@ def make_streamed_sage_train_step_segmented(
     )
 
     def build(tape, p, x, y, mask):
-        n1 = tape.stream_node(tape.dense(neigh1, p, consts=(x,)))
-        h = tape.dense(layer1, p, n1, consts=(x,))
+        params = p.value
+
+        def s1_vjp(g):
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["sage1"] = dict(dp["sage1"], w_neigh=neigh1_bwd(x, g))
+            return (dp,)
+
+        s1 = tape.custom(
+            neigh1(x, params["sage1"]["w_neigh"]), s1_vjp, p
+        )
+        n1 = tape.stream_node(s1)
+        n1v = n1.value  # closure residual (backward() nulls node values)
+
+        def h_vjp(g):
+            dws, db, dpre = layer1_bwd(
+                x, n1v, params["sage1"]["w_self"], params["sage1"]["b"], g
+            )
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["sage1"] = dict(dp["sage1"], w_self=dws, b=db)
+            return (dp, dpre.astype(n1v.dtype))
+
+        h = tape.custom(
+            layer1(
+                x, n1v, params["sage1"]["w_self"], params["sage1"]["b"]
+            ),
+            h_vjp, p, n1,
+        )
         n2 = tape.stream_node(tape.dense(neigh2, p, h))
         return tape.dense(head, p, h, n2, consts=(y, mask))
 
