@@ -290,9 +290,9 @@ def run_mesh_stream(args) -> int:
     visible — 1 on this box's real chip, N on a virtual CPU mesh via
     ``jax.config jax_num_cpu_devices``), streams a PRNG bucket edge set
     through the ppermute ring, and times one full Â@X pass plus one
-    streamed sharded train step (``--model gcn|sgc``, segmented
-    dispatches). Per-shard memory stays O(N/P·F); no shard ever holds
-    the edge list.
+    streamed sharded train step (``--model gcn|sgc|appnp|sage|gin``,
+    segmented dispatches). Per-shard memory stays O(N/P·F); no shard
+    ever holds the edge list.
     """
     import jax
     import jax.numpy as jnp
@@ -302,8 +302,6 @@ def run_mesh_stream(args) -> int:
     from textgcn_tpu.parallel.sharded import make_mesh
     from textgcn_tpu.parallel.streamed import (
         make_random_bucket_edge_fn,
-        make_streamed_sharded_sgc_train_step_segmented,
-        make_streamed_sharded_train_step_segmented,
         shard_streamed_inputs,
         spmm_streamed_mesh_multi,
         symmetrize_bucket_edge_fn,
@@ -376,22 +374,32 @@ def run_mesh_stream(args) -> int:
         ),
         out_shardings=NamedSharding(mesh, P("nodes")),
     )(jax.random.PRNGKey(2))
-    if args.model == "sgc":
+    if args.model == "gcn":
+        params, _, opt_state = init_streamed(jax.random.PRNGKey(3), f, h, c)
+    else:
+        # family inits share the (key, n_feat, n_hidden, n_class) shape
+        from textgcn_tpu.models.appnp import appnp_init
+        from textgcn_tpu.models.gin import gin_init
+        from textgcn_tpu.models.sage import sage_init
         from textgcn_tpu.models.sgc import sgc_init
 
-        params = sgc_init(jax.random.PRNGKey(3), f, 0, c)
+        init = {
+            "sgc": lambda k: sgc_init(k, f, 0, c),
+            "appnp": lambda k: appnp_init(k, f, h, c),
+            "sage": lambda k: sage_init(k, f, h, c),
+            "gin": lambda k: gin_init(k, f, h, c),
+        }[args.model]
+        params = init(jax.random.PRNGKey(3))
         opt = optax.adam(0.02)
         opt_state = opt.init(params)
-        step = make_streamed_sharded_sgc_train_step_segmented(
-            sym_fn, mesh, dims,
-            chunks_per_dispatch=args.seg_chunks or 16,
-        )
-    else:
-        params, _, opt_state = init_streamed(jax.random.PRNGKey(3), f, h, c)
-        step = make_streamed_sharded_train_step_segmented(
-            sym_fn, mesh, dims,
-            chunks_per_dispatch=args.seg_chunks or 16,
-        )
+    from textgcn_tpu.parallel.streamed import (
+        make_streamed_sharded_step_segmented,
+    )
+
+    step = make_streamed_sharded_step_segmented(
+        args.model, sym_fn, mesh, dims,
+        chunks_per_dispatch=args.seg_chunks or 16,
+    )
     params, opt_state, loss = step(params, opt_state, x, y, mask)
     float(loss)
     t0 = time.perf_counter()
@@ -478,7 +486,8 @@ def main() -> int:
         help="mesh size for --mesh_stream (0 = all visible devices)",
     )
     p.add_argument(
-        "--model", choices=("gcn", "sgc"), default="gcn",
+        "--model", choices=("gcn", "sgc", "appnp", "sage", "gin"),
+        default="gcn",
         help="streamed family for the --mesh_stream train step",
     )
     args = p.parse_args()

@@ -313,3 +313,61 @@ def test_mesh_stream_grad_with_edge_args():
     np.testing.assert_allclose(
         np.asarray(g_mesh), np.asarray(g_dense), rtol=1e-5, atol=1e-5
     )
+
+
+def test_sharded_streamed_gin_matches_dense():
+    """The 5th streamed family on the mesh: the generic sharded factory
+    with family='gin' (tape-built, reassociated (1+eps)(vW) + A(vW)
+    aggregation) == the dense-operator autodiff step, f32 exact."""
+    from textgcn_tpu.models.gin import gin_init
+    from textgcn_tpu.parallel.streamed import (
+        make_streamed_sharded_step_segmented,
+    )
+
+    c, f, h = 3, 12, 8
+    mesh = make_mesh(P_SHARDS)
+    edge_fn = make_random_bucket_edge_fn(RPS, chunk_e=24, seed=17)
+    sym_fn = symmetrize_bucket_edge_fn(edge_fn, 2)
+    dims = (RPS, P_SHARDS, 4)
+    a = jnp.asarray(
+        _dense_from_bucket_stream(edge_fn, 2, RPS, P_SHARDS,
+                                  symmetrize=True))
+    x, y, mask = _train_data(c, f, seed=18)
+    xs, ys, ms = shard_streamed_inputs(mesh, x, y, mask)
+
+    params = gin_init(jax.random.PRNGKey(19), f, h, c)
+    opt = optax.adam(0.02)
+    opt_state = opt.init(params)
+    step = make_streamed_sharded_step_segmented(
+        "gin", sym_fn, mesh, dims, stream_dtype=jnp.float32,
+        chunks_per_dispatch=3,
+    )
+    p_s, _, loss_s = step(dict(params), opt_state, xs, ys, ms)
+
+    def dense_loss(p):
+        s1 = jnp.asarray(x) @ p["gin1"]["w1"]
+        z1 = (1.0 + p["gin1"]["eps"]) * s1 + a @ s1
+        hh = jax.nn.relu(z1 + p["gin1"]["b1"])
+        h2 = jax.nn.relu(hh @ p["gin1"]["w2"] + p["gin1"]["b2"])
+        s2 = h2 @ p["gin2"]["w"]
+        logits = (1.0 + p["gin2"]["eps"]) * s2 + a @ s2 + p["gin2"]["b"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.asarray(y)[:, None], axis=1
+        )[:, 0]
+        return jnp.sum(nll * jnp.asarray(mask)) / jnp.sum(jnp.asarray(mask))
+
+    loss_d, grads = jax.value_and_grad(dense_loss)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_d = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_d),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )

@@ -728,3 +728,60 @@ def test_streamed_sage_tape_matches_dense():
                 np.asarray(p2[lyr][leaf]), np.asarray(want[lyr][leaf]),
                 rtol=2e-3, atol=2e-4,
             )
+
+
+def test_streamed_gin_tape_matches_dense():
+    """The tape-built streamed GIN step (5th beyond-HBM family) == the
+    dense-operator autodiff oracle on the REASSOCIATED aggregation
+    (1+eps)(vW) + A(vW), f32 exact path."""
+    import optax
+
+    from textgcn_tpu.models.gin import gin_init
+    from textgcn_tpu.train.streamed import (
+        make_streamed_gin_train_step_segmented,
+        symmetrize_edge_fn,
+    )
+
+    n, n_chunks = 64, 4
+    edge_fn, a_sym = _toy_stream(n=n, n_chunks=n_chunks)
+    sym_fn = symmetrize_edge_fn(edge_fn, n_chunks)
+    rng = np.random.RandomState(13)
+    f, h, c = 10, 6, 3
+    x = jnp.asarray(rng.randn(n, f), jnp.float32)
+    y = jnp.asarray(rng.randint(0, c, n), jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), jnp.float32)
+    params = gin_init(jax.random.PRNGKey(3), f, h, c)
+    opt = optax.adam(0.02)
+    opt_state = opt.init(params)
+    step = make_streamed_gin_train_step_segmented(
+        sym_fn, n, 2 * n_chunks, stream_dtype=jnp.float32,
+        chunks_per_dispatch=3,
+    )
+    p2, _, loss = step(dict(params), opt_state, x, y, mask)
+
+    ad = jnp.asarray(a_sym, jnp.float32)
+
+    def dense_loss(p):
+        s1 = jnp.dot(x, p["gin1"]["w1"])
+        z1 = (1.0 + p["gin1"]["eps"]) * s1 + ad @ s1
+        hh = jax.nn.relu(z1 + p["gin1"]["b1"])
+        h2 = jax.nn.relu(jnp.dot(hh, p["gin1"]["w2"]) + p["gin1"]["b2"])
+        s2 = jnp.dot(h2, p["gin2"]["w"])
+        logits = (1.0 + p["gin2"]["eps"]) * s2 + ad @ s2 + p["gin2"]["b"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.sum(mask)
+
+    loss_d, grads = jax.value_and_grad(dense_loss)(params)
+    np.testing.assert_allclose(float(loss), float(loss_d), rtol=2e-4)
+    upd, _ = opt.update(grads, opt.init(params), params)
+    want = optax.apply_updates(params, upd)
+    for lyr, leaves in (
+        ("gin1", ("eps", "w1", "b1", "w2", "b2")),
+        ("gin2", ("eps", "w", "b")),
+    ):
+        for leaf in leaves:
+            np.testing.assert_allclose(
+                np.asarray(p2[lyr][leaf]), np.asarray(want[lyr][leaf]),
+                rtol=2e-3, atol=2e-4, err_msg=f"{lyr}/{leaf}",
+            )

@@ -719,9 +719,99 @@ def make_streamed_sage_train_step_segmented(
 # family name -> segmented (bounded-dispatch, tape-built) step factory;
 # every entry shares the stream_fn hook, so the mesh / sorted / host-fed
 # streams plug into any family uniformly
+def make_streamed_gin_train_step_segmented(
+    edge_fn,
+    n_nodes: int,
+    n_chunks: int,
+    optimizer=None,
+    lr: float = 0.02,
+    stream_dtype=jnp.bfloat16,
+    chunks_per_dispatch: int = 32,
+    stream_fn=None,
+):
+    """Streamed GIN train step in BOUNDED dispatches — the FIFTH model
+    family at beyond-HBM scale on the
+    :class:`textgcn_tpu.train.streamtape.StreamTape`.
+
+    GIN's layer is ``MLP(((1+ε)·v + Â v) @ W)``; by linearity of Â the
+    aggregation reassociates to ``(1+ε)(v W) + Â (v W)`` — every streamed
+    pass then runs at the NARROW projected width (H or C), exactly like
+    the GCN/SGC/SAGE steps, instead of the input width F (models/gin.py
+    applies the same reassociation for identity features). The
+    x-consuming projection is a tape.custom node (no jax.vjp residual
+    copy of the wide feature matrix — see
+    :func:`make_streamed_train_step_segmented`); ε gradients are inner
+    products with narrow tape values, dropout is off at scale (SAGE
+    precedent). ``stream_fn`` plugs the mesh ring / sorted / host-fed
+    streams in uniformly."""
+    from textgcn_tpu.train.streamtape import make_tape_step
+
+    opt = optimizer or optax.adam(lr)
+    stream = _make_padded_stream(
+        edge_fn, n_nodes, n_chunks, chunks_per_dispatch, stream_fn
+    )
+
+    proj1 = jax.jit(
+        lambda x, w: jnp.dot(
+            x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(stream_dtype)
+    )
+    proj1_bwd = jax.jit(
+        lambda x, g: jnp.dot(
+            x.T, g.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    )
+    # s1, a1 = x W1, Â(x W1)  ->  s2 = relu(relu((1+eps1) s1 + a1 + b1)
+    # @ W2 + b2) @ Whead, cast for the second stream
+    mid = jax.jit(
+        lambda p, s1, a1: jnp.dot(
+            jax.nn.relu(
+                jnp.dot(
+                    jax.nn.relu(
+                        (1.0 + p["gin1"]["eps"]) * s1.astype(jnp.float32)
+                        + a1
+                        + p["gin1"]["b1"]
+                    ),
+                    p["gin1"]["w2"],
+                    preferred_element_type=jnp.float32,
+                )
+                + p["gin1"]["b2"]
+            ),
+            p["gin2"]["w"],
+            preferred_element_type=jnp.float32,
+        ).astype(stream_dtype)
+    )
+    head = jax.jit(
+        lambda p, s2, a2, y, mask: _masked_ce(
+            (1.0 + p["gin2"]["eps"]) * s2.astype(jnp.float32)
+            + a2
+            + p["gin2"]["b"],
+            y,
+            mask,
+        )
+    )
+
+    def build(tape, p, x, y, mask):
+        params = p.value
+
+        def s1_vjp(g):
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["gin1"] = dict(dp["gin1"], w1=proj1_bwd(x, g))
+            return (dp,)
+
+        s1 = tape.custom(proj1(x, params["gin1"]["w1"]), s1_vjp, p)
+        a1 = tape.stream_node(s1)
+        s2 = tape.dense(mid, p, s1, a1)
+        a2 = tape.stream_node(s2)
+        return tape.dense(head, p, s2, a2, consts=(y, mask))
+
+    return make_tape_step(build, stream, opt, stream_dtype)
+
+
 STREAMED_SEGMENTED_FACTORIES = {
     "gcn": make_streamed_train_step_segmented,
     "sgc": make_streamed_sgc_train_step_segmented,
     "appnp": make_streamed_appnp_train_step_segmented,
     "sage": make_streamed_sage_train_step_segmented,
+    "gin": make_streamed_gin_train_step_segmented,
 }
