@@ -290,7 +290,7 @@ def run_mesh_stream(args) -> int:
     visible — 1 on this box's real chip, N on a virtual CPU mesh via
     ``jax.config jax_num_cpu_devices``), streams a PRNG bucket edge set
     through the ppermute ring, and times one full Â@X pass plus one
-    streamed sharded train step (``--model gcn|sgc|appnp|sage|gin``,
+    streamed sharded train step (``--model gcn|sgc|appnp|sage|gin|gcnii``,
     segmented dispatches). Per-shard memory stays O(N/P·F); no shard
     ever holds the edge list.
     """
@@ -388,6 +388,9 @@ def run_mesh_stream(args) -> int:
             "appnp": lambda k: appnp_init(k, f, h, c),
             "sage": lambda k: sage_init(k, f, h, c),
             "gin": lambda k: gin_init(k, f, h, c),
+            "gcnii": lambda k: __import__(
+                "textgcn_tpu.models.gcnii", fromlist=["x"]
+            ).gcnii_init(k, f, h, c),
         }[args.model]
         params = init(jax.random.PRNGKey(3))
         opt = optax.adam(0.02)
@@ -486,7 +489,7 @@ def main() -> int:
         help="mesh size for --mesh_stream (0 = all visible devices)",
     )
     p.add_argument(
-        "--model", choices=("gcn", "sgc", "appnp", "sage", "gin"),
+        "--model", choices=("gcn", "sgc", "appnp", "sage", "gin", "gcnii"),
         default="gcn",
         help="streamed family for the --mesh_stream train step",
     )

@@ -371,3 +371,66 @@ def test_sharded_streamed_gin_matches_dense():
             np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
             err_msg=str(ka),
         )
+
+
+def test_sharded_streamed_gcnii_matches_dense():
+    """The 6th streamed family on the mesh: generic sharded factory with
+    family='gcnii' (K-deep initial-residual recurrence, h0 fan-out) ==
+    the dense-operator autodiff step, f32 exact."""
+    from textgcn_tpu.models.gcnii import gcnii_betas, gcnii_init
+    from textgcn_tpu.parallel.streamed import (
+        make_streamed_sharded_step_segmented,
+    )
+
+    c, f, h, kdeep, alpha, lam = 3, 12, 8, 3, 0.1, 0.5
+    mesh = make_mesh(P_SHARDS)
+    edge_fn = make_random_bucket_edge_fn(RPS, chunk_e=24, seed=23)
+    sym_fn = symmetrize_bucket_edge_fn(edge_fn, 2)
+    dims = (RPS, P_SHARDS, 4)
+    a = jnp.asarray(
+        _dense_from_bucket_stream(edge_fn, 2, RPS, P_SHARDS,
+                                  symmetrize=True))
+    x, y, mask = _train_data(c, f, seed=24)
+    xs, ys, ms = shard_streamed_inputs(mesh, x, y, mask)
+
+    params = gcnii_init(jax.random.PRNGKey(25), f, h, c, k=kdeep)
+    opt = optax.adam(0.02)
+    opt_state = opt.init(params)
+    step = make_streamed_sharded_step_segmented(
+        "gcnii", sym_fn, mesh, dims, k=kdeep, alpha=alpha, lam=lam,
+        stream_dtype=jnp.float32, chunks_per_dispatch=3,
+    )
+    p_s, _, loss_s = step(dict(params), opt_state, xs, ys, ms)
+
+    betas = gcnii_betas(kdeep, lam)
+
+    def dense_loss(p):
+        h0 = jax.nn.relu(
+            jnp.dot(jnp.asarray(x), p["fc_in"]["w"]) + p["fc_in"]["b"]
+        )
+        hh = h0
+        for l in range(kdeep):
+            s = (1.0 - alpha) * (a @ hh) + alpha * h0
+            sw = jnp.dot(s, p["deep"]["w"][l])
+            hh = jax.nn.relu((1.0 - betas[l]) * s + betas[l] * sw)
+        logits = jnp.dot(hh, p["fc_out"]["w"]) + p["fc_out"]["b"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.asarray(y)[:, None], axis=1
+        )[:, 0]
+        return jnp.sum(nll * jnp.asarray(mask)) / jnp.sum(jnp.asarray(mask))
+
+    loss_d, grads = jax.value_and_grad(dense_loss)(params)
+    upd, _ = opt.update(grads, opt.init(params), params)
+    p_d = optax.apply_updates(params, upd)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p_s),
+        jax.tree_util.tree_leaves_with_path(p_d),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )

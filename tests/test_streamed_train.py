@@ -785,3 +785,62 @@ def test_streamed_gin_tape_matches_dense():
                 np.asarray(p2[lyr][leaf]), np.asarray(want[lyr][leaf]),
                 rtol=2e-3, atol=2e-4, err_msg=f"{lyr}/{leaf}",
             )
+
+
+def test_streamed_gcnii_tape_matches_dense():
+    """The tape-built streamed GCNII step (6th beyond-HBM family; K deep
+    layers, initial-residual fan-out of h0 into every layer) == the
+    dense-operator autodiff oracle, f32 exact path."""
+    import optax
+
+    from textgcn_tpu.models.gcnii import gcnii_betas, gcnii_init
+    from textgcn_tpu.train.streamed import (
+        make_streamed_gcnii_train_step_segmented,
+        symmetrize_edge_fn,
+    )
+
+    n, n_chunks, kdeep = 64, 4, 3
+    edge_fn, a_sym = _toy_stream(n=n, n_chunks=n_chunks)
+    sym_fn = symmetrize_edge_fn(edge_fn, n_chunks)
+    rng = np.random.RandomState(21)
+    f, h, c, alpha, lam = 10, 6, 3, 0.1, 0.5
+    x = jnp.asarray(rng.randn(n, f), jnp.float32)
+    y = jnp.asarray(rng.randint(0, c, n), jnp.int32)
+    mask = jnp.asarray((rng.rand(n) < 0.6), jnp.float32)
+    params = gcnii_init(jax.random.PRNGKey(4), f, h, c, k=kdeep)
+    opt = optax.adam(0.02)
+    opt_state = opt.init(params)
+    step = make_streamed_gcnii_train_step_segmented(
+        sym_fn, n, 2 * n_chunks, k=kdeep, alpha=alpha, lam=lam,
+        stream_dtype=jnp.float32, chunks_per_dispatch=3,
+    )
+    p2, _, loss = step(dict(params), opt_state, x, y, mask)
+
+    ad = jnp.asarray(a_sym, jnp.float32)
+    betas = gcnii_betas(kdeep, lam)
+
+    def dense_loss(p):
+        h0 = jax.nn.relu(jnp.dot(x, p["fc_in"]["w"]) + p["fc_in"]["b"])
+        hh = h0
+        for l in range(kdeep):
+            s = (1.0 - alpha) * (ad @ hh) + alpha * h0
+            sw = jnp.dot(s, p["deep"]["w"][l])
+            hh = jax.nn.relu((1.0 - betas[l]) * s + betas[l] * sw)
+        logits = jnp.dot(hh, p["fc_out"]["w"]) + p["fc_out"]["b"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.sum(mask)
+
+    loss_d, grads = jax.value_and_grad(dense_loss)(params)
+    np.testing.assert_allclose(float(loss), float(loss_d), rtol=2e-4)
+    upd, _ = opt.update(grads, opt.init(params), params)
+    want = optax.apply_updates(params, upd)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(p2),
+        jax.tree_util.tree_leaves_with_path(want),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=2e-3, atol=2e-4,
+            err_msg=str(ka),
+        )

@@ -808,10 +808,122 @@ def make_streamed_gin_train_step_segmented(
     return make_tape_step(build, stream, opt, stream_dtype)
 
 
+def make_streamed_gcnii_train_step_segmented(
+    edge_fn,
+    n_nodes: int,
+    n_chunks: int,
+    k: int = None,
+    alpha: float = None,
+    lam: float = None,
+    optimizer=None,
+    lr: float = 0.02,
+    stream_dtype=jnp.bfloat16,
+    chunks_per_dispatch: int = 32,
+    stream_fn=None,
+):
+    """Streamed GCNII train step in BOUNDED dispatches — the SIXTH model
+    family at beyond-HBM scale on the
+    :class:`textgcn_tpu.train.streamtape.StreamTape`.
+
+    The K-deep recurrence (models/gcnii.py gcnii_core) unrolls on the
+    tape: one stream node per layer, one shared jitted layer piece (the
+    per-layer weight selected by a traced index from the stacked
+    [K, H, H] table — its cotangent scatters back through ``take``'s
+    transpose), and the initial-residual fan-out of h0 into every layer
+    handled by the tape's cotangent accumulation — the structure the
+    hand-derived backwards of round 4 could not express. The x-consuming
+    input layer is a tape.custom node (no jax.vjp residual copy of the
+    wide feature matrix); every streamed pass is the narrow hidden
+    width. Dropout is off at scale (SAGE/GIN precedent)."""
+    from textgcn_tpu.models.gcnii import (
+        DEFAULT_ALPHA,
+        DEFAULT_K,
+        DEFAULT_LAMBDA,
+        gcnii_betas,
+    )
+    from textgcn_tpu.train.streamtape import make_tape_step
+
+    k = DEFAULT_K if k is None else k
+    alpha = DEFAULT_ALPHA if alpha is None else alpha
+    lam = DEFAULT_LAMBDA if lam is None else lam
+    opt = optimizer or optax.adam(lr)
+    stream = _make_padded_stream(
+        edge_fn, n_nodes, n_chunks, chunks_per_dispatch, stream_fn
+    )
+    betas = [float(b) for b in gcnii_betas(k, lam)]
+
+    fc_in = jax.jit(
+        lambda x, w, b: jax.nn.relu(
+            jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        )
+    )
+
+    def _fc_in_bwd_impl(x, w, b, g):
+        pre = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        dpre = jnp.where(pre > 0, g, 0.0)
+        dw = jnp.dot(
+            x.T, dpre.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        return dw, jnp.sum(dpre, axis=0)
+
+    fc_in_bwd = jax.jit(_fc_in_bwd_impl)
+    layer = jax.jit(
+        lambda p, a, h0v, li, beta: (
+            lambda s: jax.nn.relu(
+                (1.0 - beta) * s
+                + beta
+                * jnp.dot(
+                    s,
+                    jnp.take(p["deep"]["w"], li, axis=0),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        )((1.0 - alpha) * a + alpha * h0v)
+    )
+    head = jax.jit(
+        lambda p, hk, y, mask: _masked_ce(
+            jnp.dot(
+                hk, p["fc_out"]["w"], preferred_element_type=jnp.float32
+            )
+            + p["fc_out"]["b"],
+            y,
+            mask,
+        )
+    )
+
+    def build(tape, p, x, y, mask):
+        params = p.value
+
+        def h0_vjp(g):
+            dw, db = fc_in_bwd(
+                x, params["fc_in"]["w"], params["fc_in"]["b"], g
+            )
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["fc_in"] = dict(dp["fc_in"], w=dw, b=db)
+            return (dp,)
+
+        h0 = tape.custom(
+            fc_in(x, params["fc_in"]["w"], params["fc_in"]["b"]),
+            h0_vjp, p,
+        )
+        h = h0
+        for l in range(k):
+            a = tape.stream_node(h)
+            h = tape.dense(
+                layer, p, a, h0,
+                consts=(jnp.asarray(l, jnp.int32),
+                        jnp.asarray(betas[l], jnp.float32)),
+            )
+        return tape.dense(head, p, h, consts=(y, mask))
+
+    return make_tape_step(build, stream, opt, stream_dtype)
+
+
 STREAMED_SEGMENTED_FACTORIES = {
     "gcn": make_streamed_train_step_segmented,
     "sgc": make_streamed_sgc_train_step_segmented,
     "appnp": make_streamed_appnp_train_step_segmented,
     "sage": make_streamed_sage_train_step_segmented,
     "gin": make_streamed_gin_train_step_segmented,
+    "gcnii": make_streamed_gcnii_train_step_segmented,
 }
