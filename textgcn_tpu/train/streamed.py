@@ -762,25 +762,57 @@ def make_streamed_gin_train_step_segmented(
         )
     )
     # s1, a1 = x W1, Â(x W1)  ->  s2 = relu(relu((1+eps1) s1 + a1 + b1)
-    # @ W2 + b2) @ Whead, cast for the second stream
-    mid = jax.jit(
-        lambda p, s1, a1: jnp.dot(
-            jax.nn.relu(
-                jnp.dot(
-                    jax.nn.relu(
-                        (1.0 + p["gin1"]["eps"]) * s1.astype(jnp.float32)
-                        + a1
-                        + p["gin1"]["b1"]
-                    ),
-                    p["gin1"]["w2"],
-                    preferred_element_type=jnp.float32,
-                )
-                + p["gin1"]["b2"]
-            ),
-            p["gin2"]["w"],
-            preferred_element_type=jnp.float32,
+    # @ W2 + b2) @ Whead, cast for the second stream. Forward and
+    # hand-written backward (tape.custom: jax.vjp residual copies of
+    # s1/a1 + the [N, H] intermediates pushed the second stream point of
+    # the 10M-node step past the chip — same fix as the GCN dense2)
+    def _mid_impl(p1, p2, s1, a1):
+        z1 = (1.0 + p1["eps"]) * s1.astype(jnp.float32) + a1 + p1["b1"]
+        hh = jax.nn.relu(z1)
+        pre2 = (
+            jnp.dot(hh, p1["w2"], preferred_element_type=jnp.float32)
+            + p1["b2"]
+        )
+        h2 = jax.nn.relu(pre2)
+        return jnp.dot(
+            h2, p2["w"], preferred_element_type=jnp.float32
         ).astype(stream_dtype)
-    )
+
+    mid = jax.jit(_mid_impl)
+
+    def _mid_bwd_impl(p1, p2, x, a1, g):
+        # recompute s1 = bf16(x W1) from the always-resident x instead of
+        # retaining it across the second stream (the 0.3 GB retention was
+        # the margin that tipped the 10M-node step over the chip)
+        s1 = proj1(x, p1["w1"])
+        s1f = s1.astype(jnp.float32)
+        z1 = (1.0 + p1["eps"]) * s1f + a1 + p1["b1"]
+        hh = jax.nn.relu(z1)
+        pre2 = (
+            jnp.dot(hh, p1["w2"], preferred_element_type=jnp.float32)
+            + p1["b2"]
+        )
+        h2 = jax.nn.relu(pre2)
+        gf = g.astype(jnp.float32)
+        dwhead = jnp.dot(h2.T, gf, preferred_element_type=jnp.float32)
+        dpre2 = jnp.where(
+            pre2 > 0,
+            jnp.dot(gf, p2["w"].T, preferred_element_type=jnp.float32),
+            0.0,
+        )
+        dw2 = jnp.dot(hh.T, dpre2, preferred_element_type=jnp.float32)
+        db2 = jnp.sum(dpre2, axis=0)
+        dz1 = jnp.where(
+            z1 > 0,
+            jnp.dot(dpre2, p1["w2"].T, preferred_element_type=jnp.float32),
+            0.0,
+        )
+        db1 = jnp.sum(dz1, axis=0)
+        deps1 = jnp.sum(dz1 * s1f)
+        ds1 = ((1.0 + p1["eps"]) * dz1).astype(s1.dtype)
+        return dwhead, dw2, db2, db1, deps1, ds1, dz1
+
+    mid_bwd = jax.jit(_mid_bwd_impl)
     head = jax.jit(
         lambda p, s2, a2, y, mask: _masked_ce(
             (1.0 + p["gin2"]["eps"]) * s2.astype(jnp.float32)
@@ -801,7 +833,23 @@ def make_streamed_gin_train_step_segmented(
 
         s1 = tape.custom(proj1(x, params["gin1"]["w1"]), s1_vjp, p)
         a1 = tape.stream_node(s1)
-        s2 = tape.dense(mid, p, s1, a1)
+        a1v = a1.value  # closure residual (s1 is recomputed from x)
+
+        def mid_vjp(g):
+            dwh, dw2, db2, db1, de1, ds1, da1 = mid_bwd(
+                params["gin1"], params["gin2"], x, a1v, g
+            )
+            dp = jax.tree_util.tree_map(jnp.zeros_like, params)
+            dp["gin1"] = dict(
+                dp["gin1"], w2=dw2, b2=db2, b1=db1, eps=de1
+            )
+            dp["gin2"] = dict(dp["gin2"], w=dwh)
+            return (dp, ds1, da1.astype(a1v.dtype))
+
+        s2 = tape.custom(
+            mid(params["gin1"], params["gin2"], s1.value, a1v),
+            mid_vjp, p, s1, a1,
+        )
         a2 = tape.stream_node(s2)
         return tape.dense(head, p, s2, a2, consts=(y, mask))
 
